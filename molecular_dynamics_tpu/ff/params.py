@@ -1,0 +1,184 @@
+"""Dense force-field parameter pytree (``FFParams``)."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from molecular_dynamics_tpu import units
+
+
+@struct.dataclass
+class FFParams:
+    """All force-field parameters for one system as dense device arrays.
+
+    Semantics mirror torchmd's ``Parameters`` (consumed by the reference's
+    TorchMD_Fix/forces.py): index tables are 0-based, parameters are in
+    kcal/mol-based units, angles in radians.
+
+    Shapes (N atoms, NB bonds, NA angles, ND dihedrals, NI impropers, T term
+    padding, N14 1-4 pairs):
+
+    - ``masses``/``charges``: (N,)
+    - ``bonds`` (NB,2) + ``bond_params`` (NB,2) = [k0, d0]; E = k0 (d-d0)^2
+    - ``angles`` (NA,3) + ``angle_params`` (NA,2) = [k0, theta0]
+    - ``dihedrals`` (ND,4) + ``dihedral_params`` (ND,T,3) = [k0, phi0, per]
+      with ``dihedral_term_mask`` (ND,T); per>0 → AMBER periodic,
+      per<=0 → CHARMM harmonic (TorchMD_Fix/forces.py:565-576)
+    - ``impropers`` (NI,4) + ``improper_params`` (NI,T,3) + mask
+    - ``idx14`` (N14,2) + ``nb14_params`` (N14,4) = [A14, B14, scnb, scee]
+    - ``lj_a_pair``/``lj_b_pair``/``qq_pair``: (N,N) pre-expanded pair tables;
+      ``qq_pair`` already includes ELEC_FACTOR.
+    - ``nb_mask``: (N,N) bool, True for i<j pairs not excluded by
+      bonds/angles/1-4 (Forces exclusions, forces.py:37,346-355)
+    - ``ub_bonds``/``ub_params``: optional CHARMM Urey-Bradley 1-3 springs
+      (chamber prmtops; not evaluated by the reference, off by default)
+    """
+
+    masses: jnp.ndarray
+    charges: jnp.ndarray
+
+    bonds: jnp.ndarray
+    bond_params: jnp.ndarray
+    angles: jnp.ndarray
+    angle_params: jnp.ndarray
+    dihedrals: jnp.ndarray
+    dihedral_params: jnp.ndarray
+    dihedral_term_mask: jnp.ndarray
+    impropers: jnp.ndarray
+    improper_params: jnp.ndarray
+    improper_term_mask: jnp.ndarray
+    idx14: jnp.ndarray
+    nb14_params: jnp.ndarray
+
+    lj_a_pair: jnp.ndarray
+    lj_b_pair: jnp.ndarray
+    qq_pair: jnp.ndarray
+    nb_mask: jnp.ndarray
+
+    ub_bonds: jnp.ndarray
+    ub_params: jnp.ndarray
+
+    @property
+    def n_atoms(self) -> int:
+        return self.masses.shape[0]
+
+
+def _pad_terms(term_lists: Sequence[Sequence[Sequence[float]]], dtype):
+    """Pad ragged per-torsion term lists to (n, max_terms, 3) + mask.
+
+    Padding rows get per=1, k0=0 so they are inert under either torsion
+    branch (AMBER cos term with k0=0 contributes nothing even unmasked).
+    """
+    n = len(term_lists)
+    if n == 0:
+        return (
+            np.zeros((0, 1, 3), dtype),
+            np.zeros((0, 1), bool),
+        )
+    max_t = max(1, max(len(t) for t in term_lists))
+    params = np.zeros((n, max_t, 3), dtype)
+    params[:, :, 2] = 1.0  # per=1 on padding
+    mask = np.zeros((n, max_t), bool)
+    for i, terms in enumerate(term_lists):
+        for j, (k0, phi0, per) in enumerate(terms):
+            params[i, j] = (k0, phi0, per)
+            mask[i, j] = True
+    return params, mask
+
+
+def _exclusion_mask(
+    n_atoms: int,
+    bonds: np.ndarray,
+    angles: np.ndarray,
+    idx14: np.ndarray,
+    exclusions: Sequence[str] = ("bonds", "angles", "1-4"),
+) -> np.ndarray:
+    """Upper-triangular all-vs-all pair mask minus excluded pairs.
+
+    Matches torchmd ``Parameters.get_exclusions`` + ``Forces._make_indeces``
+    (TorchMD_Fix/forces.py:346-355): excluded are bonded pairs, angle 1-3
+    pairs and dihedral 1-4 pairs.
+    """
+    mask = np.triu(np.ones((n_atoms, n_atoms), bool), k=1)
+    pairs = []
+    if "bonds" in exclusions and len(bonds):
+        pairs.append(np.asarray(bonds)[:, :2])
+    if "angles" in exclusions and len(angles):
+        pairs.append(np.asarray(angles)[:, [0, 2]])
+    if "1-4" in exclusions and len(idx14):
+        pairs.append(np.asarray(idx14))
+    for p in pairs:
+        mask[p[:, 0], p[:, 1]] = False
+        mask[p[:, 1], p[:, 0]] = False
+    return np.triu(mask, k=1)
+
+
+def finalize_ff_params(
+    *,
+    masses: np.ndarray,
+    charges: np.ndarray,
+    bonds: np.ndarray,
+    bond_params: np.ndarray,
+    angles: np.ndarray,
+    angle_params: np.ndarray,
+    dihedrals: np.ndarray,
+    dihedral_terms: Sequence[Sequence[Sequence[float]]],
+    impropers: np.ndarray,
+    improper_terms: Sequence[Sequence[Sequence[float]]],
+    idx14: np.ndarray,
+    nb14_params: np.ndarray,
+    lj_a_pair: np.ndarray,
+    lj_b_pair: np.ndarray,
+    exclusions: Sequence[str] = ("bonds", "angles", "1-4"),
+    ub_bonds: Optional[np.ndarray] = None,
+    ub_params: Optional[np.ndarray] = None,
+    dtype=jnp.float32,
+) -> FFParams:
+    """Assemble an ``FFParams`` pytree from host-side numpy tables."""
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    n = len(masses)
+    charges = np.asarray(charges, np_dtype)
+    qq = units.ELEC_FACTOR * charges[:, None] * charges[None, :]
+
+    dih_params, dih_mask = _pad_terms(dihedral_terms, np_dtype)
+    imp_params, imp_mask = _pad_terms(improper_terms, np_dtype)
+
+    bonds = np.asarray(bonds, np.int32).reshape(-1, 2)
+    angles = np.asarray(angles, np.int32).reshape(-1, 3)
+    dihedrals = np.asarray(dihedrals, np.int32).reshape(-1, 4)
+    impropers = np.asarray(impropers, np.int32).reshape(-1, 4)
+    idx14 = np.asarray(idx14, np.int32).reshape(-1, 2)
+
+    nb_mask = _exclusion_mask(n, bonds, angles, idx14, exclusions)
+
+    if ub_bonds is None:
+        ub_bonds = np.zeros((0, 2), np.int32)
+        ub_params = np.zeros((0, 2), np_dtype)
+
+    as_dev = lambda a, dt: jnp.asarray(np.asarray(a), dt)
+    return FFParams(
+        masses=as_dev(masses, dtype),
+        charges=as_dev(charges, dtype),
+        bonds=as_dev(bonds, jnp.int32),
+        bond_params=as_dev(np.asarray(bond_params, np_dtype).reshape(-1, 2), dtype),
+        angles=as_dev(angles, jnp.int32),
+        angle_params=as_dev(np.asarray(angle_params, np_dtype).reshape(-1, 2), dtype),
+        dihedrals=as_dev(dihedrals, jnp.int32),
+        dihedral_params=as_dev(dih_params, dtype),
+        dihedral_term_mask=as_dev(dih_mask, jnp.bool_),
+        impropers=as_dev(impropers, jnp.int32),
+        improper_params=as_dev(imp_params, dtype),
+        improper_term_mask=as_dev(imp_mask, jnp.bool_),
+        idx14=as_dev(idx14, jnp.int32),
+        nb14_params=as_dev(np.asarray(nb14_params, np_dtype).reshape(-1, 4), dtype),
+        lj_a_pair=as_dev(lj_a_pair, dtype),
+        lj_b_pair=as_dev(lj_b_pair, dtype),
+        qq_pair=as_dev(qq, dtype),
+        nb_mask=as_dev(nb_mask, jnp.bool_),
+        ub_bonds=as_dev(ub_bonds, jnp.int32),
+        ub_params=as_dev(ub_params, dtype),
+    )

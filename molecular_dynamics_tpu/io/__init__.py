@@ -1,0 +1,25 @@
+"""Molecular file I/O: topology readers and trajectory codecs.
+
+TPU-native replacement for the reference's forked moleculekit readers
+(V_Calculations/Test-6_full_system/readers.py — SURVEY.md §L2) and its
+MDAnalysis-based DCD converters (Data_Processing_Scripts/): everything
+produces plain numpy, feeding ``mdx.ff`` / ``mdx.sim``.
+"""
+
+from molecular_dynamics_tpu.io.psf import read_psf
+from molecular_dynamics_tpu.io.pdb import read_pdb, write_pdb
+from molecular_dynamics_tpu.io.xyz import write_xyz, read_xyz
+from molecular_dynamics_tpu.io.prmtop import read_prmtop, prmtop_to_ff_params
+from molecular_dynamics_tpu.io.dcd import read_dcd, write_dcd
+
+__all__ = [
+    "read_psf",
+    "read_pdb",
+    "write_pdb",
+    "write_xyz",
+    "read_xyz",
+    "read_prmtop",
+    "prmtop_to_ff_params",
+    "read_dcd",
+    "write_dcd",
+]

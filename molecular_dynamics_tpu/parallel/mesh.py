@@ -1,0 +1,54 @@
+"""Mesh construction and sharding helpers."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def get_mesh(
+    n_devices: Optional[int] = None, axis_name: str = "replica"
+) -> Mesh:
+    """A 1-D device mesh over the first ``n_devices`` devices.
+
+    MD replica ensembles and data-parallel training both shard one leading
+    axis, so a 1-D mesh covers every reference workload; multi-axis meshes
+    (e.g. replica x model) can be built directly with jax.sharding for
+    larger systems.
+    """
+    devs = jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    return Mesh(np.array(devs[:n_devices]), (axis_name,))
+
+
+def shard_ensemble(states, mesh: Mesh, axis_name: str = "replica"):
+    """Shard the leading replica axis of an ensemble pytree over the mesh.
+
+    Replica counts must divide the mesh size. Integration then runs fully
+    sharded: XLA partitions the vmapped step with zero collectives (each
+    replica is independent), so throughput scales linearly over ICI.
+    """
+    def put(x):
+        spec = P(axis_name, *([None] * (x.ndim - 1))) if x.ndim else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, states)
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = "replica"):
+    """Shard the leading (batch) axis of an array pytree over the mesh."""
+    return shard_ensemble(batch, mesh, axis_name)
+
+
+def replicate_params(params, mesh: Mesh):
+    """Fully replicate a parameter pytree across the mesh."""
+    def put(x):
+        return jax.device_put(
+            x, NamedSharding(mesh, P(*([None] * getattr(x, "ndim", 0))))
+        )
+
+    return jax.tree.map(put, params)

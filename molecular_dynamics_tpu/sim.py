@@ -1,0 +1,181 @@
+"""Simulation campaigns: fused rollouts, replica ensembles, SMD regeneration.
+
+This layer replaces the reference's L0 data-generation stack (NAMD configured
+by SMD/gendirs_GBIS.py + one SLURM job per replica, SURVEY.md §3.5) and the
+torchmd dynamics loop (Test-1/tutorial.ipynb cell 18): one jit-compiled
+``lax.scan`` advances `save_every` integrator steps per emitted frame, and the
+replica ensemble is a vmapped leading axis — 1024 replicas advance in one
+device program instead of 50 cluster jobs.
+
+Output mirrors the reference pipeline's artifacts: strided coordinate frames
+(the `(frames, atoms, 3)` npy layout every model loader consumes), per-frame
+energy/temperature logs (torchmd LogWriter keys), and colvar center/value
+traces like NAMD's ``.colvars.traj``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from molecular_dynamics_tpu.energy import (
+    EnergyConfig,
+    REFERENCE_CONFIG,
+    total_energy,
+)
+from molecular_dynamics_tpu.ff.params import FFParams
+from molecular_dynamics_tpu.integrate import (
+    kinetic_energy,
+    langevin_step,
+    temperature,
+    velocity_verlet_step,
+)
+from molecular_dynamics_tpu.system import MDState
+
+
+@dataclasses.dataclass(frozen=True)
+class SimulationConfig:
+    """Static rollout options (hashable; safe to close over in jit)."""
+
+    dt_fs: float = 2.0
+    integrator: str = "langevin"  # "langevin" | "nve"
+    temperature: float = 300.0
+    gamma_ps: float = 1.0  # NAMD langevinDamping 1.0 (gendirs_GBIS.py:60)
+    energy: EnergyConfig = REFERENCE_CONFIG
+
+
+def make_step_fn(
+    ff: FFParams,
+    config: SimulationConfig = SimulationConfig(),
+    bias=None,
+) -> Callable[[MDState], MDState]:
+    """Build the fused ``state -> state`` integrator step.
+
+    The bias (e.g. :class:`~molecular_dynamics_tpu.bias.HarmonicSMDBias`)
+    contributes energy at the state's step counter; its force arrives through
+    ``jax.grad`` of the combined potential, matching how NAMD applies the
+    colvar restraint force during data generation.
+    """
+
+    def potential(pos, box, step):
+        e = total_energy(pos, ff, box=box, config=config.energy)
+        if bias is not None:
+            e = e + bias.energy(pos, step)
+        return e
+
+    def step_fn(state: MDState) -> MDState:
+        force_fn = lambda pos, box: -jax.grad(potential)(pos, box, state.step)
+        if config.integrator == "nve":
+            return velocity_verlet_step(state, force_fn, ff.masses, config.dt_fs)
+        return langevin_step(
+            state,
+            force_fn,
+            ff.masses,
+            config.dt_fs,
+            config.temperature,
+            config.gamma_ps,
+        )
+
+    return step_fn
+
+
+def _observables(state: MDState, ff: FFParams, config: SimulationConfig, bias):
+    epot = total_energy(state.pos, ff, box=state.box, config=config.energy)
+    ekin = kinetic_energy(state.vel, ff.masses)
+    obs = {
+        "step": state.step,
+        "epot": epot,
+        "ekin": ekin,
+        "etot": epot + ekin,
+        "T": temperature(ekin, ff.masses.shape[0]),
+    }
+    if bias is not None:
+        obs["colvar_center"] = bias.center(state.step)
+        obs["colvar_value"] = bias.colvar(state.pos)
+        obs["colvar_energy"] = bias.energy(state.pos, state.step)
+    return obs
+
+
+def simulate(
+    state: MDState,
+    ff: FFParams,
+    n_steps: int,
+    save_every: int = 50,
+    config: SimulationConfig = SimulationConfig(),
+    bias=None,
+) -> Tuple[MDState, jnp.ndarray, dict]:
+    """Run one system for ``n_steps``, emitting a frame every ``save_every``.
+
+    Returns (final_state, frames (n_saves, N, 3), log dict of (n_saves,)
+    arrays). Frame stride 50 matches the reference campaign's ``dcdfreq 50``
+    (gendirs_GBIS.py:46). The whole rollout is one jit region: a scan over
+    saves with a fori_loop of fused steps inside.
+    """
+    step_fn = make_step_fn(ff, config, bias)
+    n_saves = n_steps // save_every
+
+    @jax.jit
+    def run(state):
+        def segment(state, _):
+            state = jax.lax.fori_loop(
+                0, save_every, lambda _, s: step_fn(s), state
+            )
+            return state, (state.pos, _observables(state, ff, config, bias))
+
+        return jax.lax.scan(segment, state, None, length=n_saves)
+
+    final, (frames, log) = run(state)
+    return final, frames, log
+
+
+def simulate_ensemble(
+    states: MDState,
+    ff: FFParams,
+    n_steps: int,
+    save_every: int = 50,
+    config: SimulationConfig = SimulationConfig(),
+    bias=None,
+) -> Tuple[MDState, jnp.ndarray, dict]:
+    """Replica-ensemble rollout: ``states`` has a leading replica axis.
+
+    The vmapped equivalent of the reference's 50-job SLURM fan-out
+    (SMD/jobpip.sh:33-50); shard the leading axis over a device mesh with
+    ``mdx.parallel.shard_ensemble`` to scale across chips.
+
+    Returns (final_states, frames (n_saves, R, N, 3), log of (n_saves, R)).
+    """
+    step_fn = make_step_fn(ff, config, bias)
+    n_saves = n_steps // save_every
+    obs_fn = functools.partial(_observables, ff=ff, config=config, bias=bias)
+
+    @jax.jit
+    def run(states):
+        def segment(states, _):
+            states = jax.lax.fori_loop(
+                0, save_every, lambda _, s: jax.vmap(step_fn)(s), states
+            )
+            return states, (states.pos, jax.vmap(obs_fn)(states))
+
+        return jax.lax.scan(segment, states, None, length=n_saves)
+
+    final, (frames, log) = run(states)
+    return final, frames, log
+
+
+def smd_campaign_config() -> Tuple[SimulationConfig, dict]:
+    """The reference SMD data-generation protocol as config values:
+    Langevin 300 K damping 1/ps, 2 fs steps, 500k steps, frames every 50,
+    colvar 12 -> 34 A over the run (gendirs_GBIS.py:44-131)."""
+    sim = SimulationConfig(dt_fs=2.0, temperature=300.0, gamma_ps=1.0)
+    colvar = {
+        "fk": 1.0,
+        "cent_0": 12.0,
+        "cent_1": 34.0,
+        "n_steps": 500_000,
+        "save_every": 50,
+    }
+    return sim, colvar
