@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Headline benchmark: decaalanine integration throughput on one chip.
+
+Measures aggregate Langevin-SMD integration steps/sec for the 104-atom
+full-representation deca-alanine across 1024 vmapped replicas (BASELINE.md
+north star: >= 1e6 steps/sec aggregate). The whole campaign is one jitted
+``lax.fori_loop`` of fused force+BAOAB steps — the TPU replacement for the
+reference's 50 independent NAMD jobs (SURVEY.md §3.5).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+# Benchmark must run on the real accelerator if present; fall back to CPU.
+os.environ.setdefault("JAX_PLATFORMS", "")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from molecular_dynamics_tpu import (
+    HarmonicSMDBias,
+    maxwell_boltzmann,
+    minimize_fire,
+    system_init,
+)
+from molecular_dynamics_tpu.energy import REFERENCE_CONFIG, total_energy
+from molecular_dynamics_tpu.examples import decaalanine_full
+from molecular_dynamics_tpu.integrate import initialize_forces
+from molecular_dynamics_tpu.sim import SimulationConfig, make_step_fn
+from molecular_dynamics_tpu.system import replicate
+
+N_REPLICAS = int(os.environ.get("MDX_BENCH_REPLICAS", 1024))
+N_STEPS = int(os.environ.get("MDX_BENCH_STEPS", 2000))
+TARGET = 1e6  # aggregate steps/sec north star
+
+
+def main():
+    ff, coords, _ = decaalanine_full(dtype=jnp.float32)
+    n_atoms = ff.n_atoms
+
+    force = lambda p: -jax.grad(
+        lambda q: total_energy(q, ff, config=REFERENCE_CONFIG)
+    )(p)
+    pos = jax.jit(
+        lambda p: minimize_fire(p, force, n_steps=500, dt_start=0.001, dt_max=0.01)
+    )(jnp.asarray(coords, jnp.float32))
+
+    # SMD campaign state: schedule starts at the current end-to-end distance
+    key = jax.random.PRNGKey(0)
+    vel = maxwell_boltzmann(key, ff.masses, 300.0)
+    d0 = float(jnp.linalg.norm(pos[-1] - pos[0]))
+    bias = HarmonicSMDBias.create(
+        n_atoms=n_atoms, group1=[0], group2=[n_atoms - 1],
+        fk=1.0, cent_0=d0, cent_1=d0 + 22.0, T=500_000,
+    )
+    cfg = SimulationConfig(dt_fs=2.0, temperature=300.0, gamma_ps=1.0)
+    step_fn = make_step_fn(ff, cfg, bias)
+
+    state = system_init(pos, vel=vel, key=key)
+    state = initialize_forces(
+        state,
+        lambda p, b: -jax.grad(
+            lambda q: total_energy(q, ff, config=REFERENCE_CONFIG)
+            + bias.energy(q, 0)
+        )(p),
+    )
+    ensemble = replicate(state, N_REPLICAS, seed=1)
+
+    @jax.jit
+    def advance(states, n):
+        return jax.lax.fori_loop(0, n, lambda _, s: jax.vmap(step_fn)(s), states)
+
+    # warmup/compile
+    ensemble = advance(ensemble, 10)
+    jax.block_until_ready(ensemble.pos)
+
+    t0 = time.perf_counter()
+    ensemble = advance(ensemble, N_STEPS)
+    jax.block_until_ready(ensemble.pos)
+    elapsed = time.perf_counter() - t0
+
+    assert bool(jnp.all(jnp.isfinite(ensemble.pos))), "trajectory diverged"
+    steps_per_sec = N_STEPS * N_REPLICAS / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "decaalanine_104atom_langevin_smd_steps_per_sec_1024rep",
+                "value": round(steps_per_sec, 1),
+                "unit": "steps/sec (aggregate)",
+                "vs_baseline": round(steps_per_sec / TARGET, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,13 @@ def get_mesh(
     devs = jax.devices()
     if n_devices is None:
         n_devices = len(devs)
+    if len(devs) < n_devices:
+        raise ValueError(
+            f"requested a {n_devices}-device mesh but only {len(devs)} "
+            f"devices are visible (set "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n_devices} "
+            f"with JAX_PLATFORMS=cpu to emulate)"
+        )
     return Mesh(np.array(devs[:n_devices]), (axis_name,))
 
 
