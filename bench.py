@@ -33,7 +33,7 @@ from molecular_dynamics_tpu import (
 from molecular_dynamics_tpu.energy import REFERENCE_CONFIG, total_energy
 from molecular_dynamics_tpu.examples import decaalanine_full
 from molecular_dynamics_tpu.integrate import initialize_forces
-from molecular_dynamics_tpu.sim import SimulationConfig, make_step_fn
+from molecular_dynamics_tpu.sim import SimulationConfig, make_ensemble_step_fn
 from molecular_dynamics_tpu.system import replicate
 
 N_REPLICAS = int(os.environ.get("MDX_BENCH_REPLICAS", 1024))
@@ -60,8 +60,13 @@ def main():
         n_atoms=n_atoms, group1=[0], group2=[n_atoms - 1],
         fk=1.0, cent_0=d0, cent_1=d0 + 22.0, T=500_000,
     )
-    cfg = SimulationConfig(dt_fs=2.0, temperature=300.0, gamma_ps=1.0)
-    step_fn = make_step_fn(ff, cfg, bias)
+    cfg = SimulationConfig(
+        dt_fs=2.0,
+        temperature=300.0,
+        gamma_ps=1.0,
+        fused_nonbonded=os.environ.get("MDX_BENCH_FUSED", "1") == "1",
+    )
+    step_fn = make_ensemble_step_fn(ff, cfg, bias)
 
     state = system_init(pos, vel=vel, key=key)
     state = initialize_forces(
@@ -75,7 +80,7 @@ def main():
 
     @jax.jit
     def advance(states, n):
-        return jax.lax.fori_loop(0, n, lambda _, s: jax.vmap(step_fn)(s), states)
+        return jax.lax.fori_loop(0, n, lambda _, s: step_fn(s), states)
 
     # warmup/compile
     ensemble = advance(ensemble, 10)

@@ -64,6 +64,10 @@ class EnergyConfig:
     switch_dist: Optional[float] = None
     #: evaluate chamber Urey-Bradley 1-3 springs if the FF carries them
     urey_bradley: bool = False
+    #: evaluate the dense all-vs-all nonbonded matrix here. Set False when a
+    #: fused kernel (mdx.ops.nonbonded) supplies those terms instead — the
+    #: bonded/1-4 terms still evaluate normally.
+    dense_nonbonded: bool = True
 
     def __post_init__(self):
         object.__setattr__(self, "terms", tuple(t.lower() for t in self.terms))
@@ -296,7 +300,7 @@ def energy_terms(
             out["electrostatics"] = out.get("electrostatics", zero) + elec14
         out["1-4"] = zero  # stays 0: folded into lj/electrostatics (forces.py:206,222)
 
-    if any(t in NONBONDED_TERMS for t in cfg.terms):
+    if cfg.dense_nonbonded and any(t in NONBONDED_TERMS for t in cfg.terms):
         nb = _nonbonded_energies(pos, ff, box, cfg)
         for k, v in nb.items():
             out[k] = out.get(k, zero) + v

@@ -31,6 +31,24 @@ Array = jnp.ndarray
 ForceFn = Callable[[Array, Array], Array]  # (pos, box) -> forces
 
 
+def _split_keys(key: jax.Array):
+    """Split a single key or a leading-axis batch of replica keys."""
+    if key.ndim == 1:
+        k1, k2 = jax.random.split(key)
+        return k1, k2
+    ks = jax.vmap(jax.random.split)(key)
+    return ks[:, 0], ks[:, 1]
+
+
+def _normal_like(key: jax.Array, template: Array) -> Array:
+    """Per-replica independent normal noise for single or batched keys."""
+    if key.ndim == 1:
+        return jax.random.normal(key, template.shape, template.dtype)
+    return jax.vmap(
+        lambda k: jax.random.normal(k, template.shape[1:], template.dtype)
+    )(key)
+
+
 # ---------------------------------------------------------------------------
 # kinetic quantities and initial conditions
 # ---------------------------------------------------------------------------
@@ -97,7 +115,7 @@ def langevin_step(
     dt = dt_fs / units.TIMEFACTOR
     gamma = gamma_ps * (units.TIMEFACTOR / 1000.0)  # 1/ps -> 1/internal-time
     m = masses[:, None]
-    key, noise_key = jax.random.split(state.key)
+    key, noise_key = _split_keys(state.key)
 
     # B: half kick with stored forces
     vel = state.vel + 0.5 * dt * state.forces / m
@@ -106,7 +124,7 @@ def langevin_step(
     # O: Ornstein-Uhlenbeck exact solve
     c1 = jnp.exp(-gamma * dt)
     c2 = jnp.sqrt(units.BOLTZMANN * T / m * (1.0 - c1 * c1))
-    noise = jax.random.normal(noise_key, vel.shape, vel.dtype)
+    noise = _normal_like(noise_key, vel)
     vel = c1 * vel + c2 * noise
     # A: half drift
     pos = pos + 0.5 * dt * vel

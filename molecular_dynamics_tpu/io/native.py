@@ -1,0 +1,187 @@
+"""ctypes binding to the C++ native tier (libmdx_native.so).
+
+Provides the fast codec paths (DCD bulk read/write, compressed XTC-style
+trajectories) and the asynchronous trajectory sink that overlaps host I/O
+with device compute during campaigns. Falls back gracefully: callers should
+check :func:`available` and use the pure-python codecs otherwise.
+
+Build the library once with ``make -C native`` (plain g++, no deps); this
+module also attempts a one-shot build if the .so is missing and a compiler
+is present.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = pathlib.Path(__file__).resolve().parents[2] / "native"
+_LIB_PATH = _NATIVE_DIR / "libmdx_native.so"
+_lib = None
+
+
+def _try_build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", str(_NATIVE_DIR)],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return _LIB_PATH.exists()
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists() and not _try_build():
+        return None
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.mdx_dcd_write.argtypes = [
+        ctypes.c_char_p, f32p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32,
+    ]
+    lib.mdx_dcd_write.restype = ctypes.c_int
+    lib.mdx_dcd_probe.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.mdx_dcd_probe.restype = ctypes.c_int64
+    lib.mdx_dcd_read.argtypes = [
+        ctypes.c_char_p, f32p, ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.mdx_dcd_read.restype = ctypes.c_int
+    lib.mdx_xtc_write.argtypes = [
+        ctypes.c_char_p, f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
+    ]
+    lib.mdx_xtc_write.restype = ctypes.c_int
+    lib.mdx_xtc_probe.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.mdx_xtc_probe.restype = ctypes.c_int64
+    lib.mdx_xtc_read.argtypes = [
+        ctypes.c_char_p, f32p, ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.mdx_xtc_read.restype = ctypes.c_int
+    lib.mdx_sink_open.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
+    ]
+    lib.mdx_sink_open.restype = ctypes.c_void_p
+    lib.mdx_sink_push.argtypes = [ctypes.c_void_p, f32p, ctypes.c_int64]
+    lib.mdx_sink_push.restype = ctypes.c_int
+    lib.mdx_sink_close.argtypes = [ctypes.c_void_p]
+    lib.mdx_sink_close.restype = ctypes.c_int64
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+# ---------------------------------------------------------------------------
+# codecs
+# ---------------------------------------------------------------------------
+
+
+def dcd_write(path: str, coords: np.ndarray, start: int = 0, step: int = 1):
+    coords = np.ascontiguousarray(coords, np.float32)
+    if coords.ndim == 2:
+        coords = coords[None]
+    rc = _load().mdx_dcd_write(
+        path.encode(), coords, coords.shape[0], coords.shape[1], start, step
+    )
+    if rc != 0:
+        raise IOError(f"mdx_dcd_write failed ({rc}) for {path}")
+
+
+def dcd_read(path: str) -> np.ndarray:
+    lib = _load()
+    n_frames = ctypes.c_int64()
+    has_cell = ctypes.c_int32()
+    natoms = lib.mdx_dcd_probe(path.encode(), n_frames, has_cell)
+    if natoms < 0:
+        raise IOError(f"not a DCD file: {path}")
+    out = np.empty((n_frames.value, natoms, 3), np.float32)
+    rc = lib.mdx_dcd_read(path.encode(), out, n_frames.value, natoms)
+    if rc != 0:
+        raise IOError(f"mdx_dcd_read failed ({rc}) for {path}")
+    return out
+
+
+def xtc_write(path: str, coords: np.ndarray, precision: float = 1000.0):
+    """Write a compressed trajectory (coords in Angstrom; precision in 1/nm
+    like GROMACS — 1000 keeps 0.001 nm = 0.01 A resolution)."""
+    coords = np.ascontiguousarray(coords, np.float32)
+    if coords.ndim == 2:
+        coords = coords[None]
+    rc = _load().mdx_xtc_write(
+        path.encode(), coords, coords.shape[0], coords.shape[1],
+        ctypes.c_float(precision),
+    )
+    if rc != 0:
+        raise IOError(f"mdx_xtc_write failed ({rc}) for {path}")
+
+
+def xtc_read(path: str) -> np.ndarray:
+    lib = _load()
+    n_frames = ctypes.c_int64()
+    natoms = lib.mdx_xtc_probe(path.encode(), n_frames)
+    if natoms < 0:
+        raise IOError(f"not an XTC file: {path}")
+    out = np.empty((n_frames.value, natoms, 3), np.float32)
+    rc = lib.mdx_xtc_read(path.encode(), out, n_frames.value, natoms)
+    if rc != 0:
+        raise IOError(f"mdx_xtc_read failed ({rc}) for {path}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# async trajectory sink
+# ---------------------------------------------------------------------------
+
+
+class AsyncTrajectorySink:
+    """Background-thread trajectory writer.
+
+    Frames pushed from the simulation loop are queued and written by a C++
+    worker thread, so disk I/O never blocks the device feed. ``fmt`` is
+    "raw" (packed f32 stream, loadable with np.fromfile) or "dcd"
+    (buffered, written as one DCD at close).
+    """
+
+    def __init__(self, path: str, n_atoms: int, fmt: str = "raw"):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self.n_atoms = n_atoms
+        self._handle = lib.mdx_sink_open(
+            path.encode(), n_atoms, 0 if fmt == "raw" else 1
+        )
+
+    def push(self, frame: np.ndarray) -> None:
+        frame = np.ascontiguousarray(frame, np.float32)
+        self._lib.mdx_sink_push(self._handle, frame, frame.size)
+
+    def close(self) -> int:
+        """Flush and join; returns the number of frames written."""
+        written = self._lib.mdx_sink_close(self._handle)
+        self._handle = None
+        return int(written)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        if self._handle:
+            self.close()

@@ -29,6 +29,12 @@ from molecular_dynamics_tpu.models.seq import (
 )
 from molecular_dynamics_tpu.models.gat import GATSimulator, DenseGATLayer
 from molecular_dynamics_tpu.models.transformer import TrajectoryTransformer
+from molecular_dynamics_tpu.models.sde import SDEGenerator, CDEDiscriminator
+from molecular_dynamics_tpu.models.node import (
+    odeint_field,
+    rk4_rollout,
+    hnn_field,
+)
 
 __all__ = [
     "MLP",
@@ -43,4 +49,9 @@ __all__ = [
     "GATSimulator",
     "DenseGATLayer",
     "TrajectoryTransformer",
+    "SDEGenerator",
+    "CDEDiscriminator",
+    "odeint_field",
+    "rk4_rollout",
+    "hnn_field",
 ]

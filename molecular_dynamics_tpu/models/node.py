@@ -1,0 +1,67 @@
+"""Neural-ODE wrappers (the torchdyn HNN variant + generic field rollouts).
+
+Covers Molecule_Dynamics_Torchdyn/hnn_v0/hnn.py:13-95 (NeuralODE with
+dopri5 + adjoint sensitivity around an HNN vector field) and the scipy
+``integrate_model``/``rk4`` helpers (Hamiltonian/.../cuda_utils.py:11-28):
+
+- ``odeint_field`` — adaptive dopri (jax.experimental.ode.odeint, which
+  implements adjoint-style reverse-mode differentiation),
+- ``rk4_rollout`` — fixed-step RK4 as a fused lax.scan.
+
+Both differentiate end-to-end through the solver.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+Field = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]  # (x, t) -> dx/dt
+
+
+def odeint_field(field: Field, x0: jnp.ndarray, ts: jnp.ndarray) -> jnp.ndarray:
+    """Adaptive-step integration of dx/dt = field(x, t) at times ``ts``.
+
+    Uses jax.experimental.ode.odeint (dopri with adjoint reverse-mode) —
+    the JAX equivalent of torchdyn's NeuralODE(sensitivity='adjoint',
+    solver='dopri5').
+    """
+    from jax.experimental.ode import odeint
+
+    return odeint(lambda x, t: field(x, t), x0, ts)
+
+
+def rk4_step(field: Field, x: jnp.ndarray, t: jnp.ndarray, dt: float):
+    """Classic RK4 (cuda_utils.py:21-28)."""
+    k1 = field(x, t)
+    k2 = field(x + 0.5 * dt * k1, t + 0.5 * dt)
+    k3 = field(x + 0.5 * dt * k2, t + 0.5 * dt)
+    k4 = field(x + dt * k3, t + dt)
+    return x + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+
+
+def rk4_rollout(
+    field: Field, x0: jnp.ndarray, n_steps: int, dt: float, t0: float = 0.0
+) -> jnp.ndarray:
+    """Fixed-step RK4 rollout as one scan; returns (n_steps, ...) states."""
+
+    def body(carry, _):
+        x, t = carry
+        x = rk4_step(field, x, t, dt)
+        return (x, t + dt), x
+
+    _, traj = jax.lax.scan(body, (x0, jnp.asarray(t0)), None, length=n_steps)
+    return traj
+
+
+def hnn_field(model, params) -> Field:
+    """Wrap an HNN as an autonomous ODE field (hnn.py:13-45)."""
+    from molecular_dynamics_tpu.models.hnn import time_derivative
+
+    def field(x, t):
+        del t
+        return time_derivative(model, params, x)
+
+    return field

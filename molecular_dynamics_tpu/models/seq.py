@@ -30,7 +30,7 @@ class LSTMPredictor(nn.Module):
 
     @nn.compact
     def __call__(self, window: jnp.ndarray) -> jnp.ndarray:
-        x = window
+        x = window.astype(jnp.float32)  # model compute dtype (TPU-native f32)
         for _ in range(self.n_layers):
             x = nn.RNN(nn.OptimizedLSTMCell(self.hidden_size))(x)
         return nn.Dense(self.out_dim)(x[..., -1, :])
@@ -45,6 +45,7 @@ class LSTMNLLPredictor(nn.Module):
 
     @nn.compact
     def __call__(self, window: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        window = window.astype(jnp.float32)
         h = nn.RNN(nn.OptimizedLSTMCell(self.hidden_size))(window)[..., -1, :]
         mu = nn.Dense(self.out_dim)(h)
         sigma = nn.softplus(nn.Dense(self.out_dim)(h)) + self.min_sigma

@@ -1,0 +1,304 @@
+"""Fused Pallas pair-terms kernel (the MD hot loop).
+
+Profiling the XLA autodiff step on a v5e chip (1024 replicas, 104 atoms)
+shows the *bonded gather* terms cost more than the dense nonbonded matrix
+(1.76 ms vs 1.02 ms per ensemble force call): tiny gathers/scatters are the
+wrong shape for the TPU. This kernel therefore folds **every 2-body term**
+into one dense masked (N, N) pass that never leaves VMEM:
+
+- LJ 12-6 with the cubic switching function + reaction-field Coulomb
+  (TorchMD_Fix/forces.py:379-489 math, cutoff-masked),
+- harmonic bonds (and optionally chamber Urey-Bradley 1-3 springs) as
+  ``k``/``d0`` pair tables (forces.py:492-501),
+- scaled 1-4 LJ + Coulomb as pre-scaled A14/B14/qq14 pair tables
+  (forces.py:176-226; scnb/scee folded in at build time, duplicate pairs
+  accumulated),
+
+with analytic pair forces. 3-body/4-body terms (angles, torsions) live in
+``mdx.ops.bonded`` as MXU matmuls. Physics parity with ``mdx.energy`` is
+pinned by tests.
+
+Differentiation: rollouts don't differentiate the force field, so forces are
+analytic; for training paths that backprop through the integrator the op
+carries a ``jax.custom_vjp`` whose backward recomputes cotangents with the
+XLA reference implementation — exact gradients everywhere, fast primal.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from molecular_dynamics_tpu import units
+from molecular_dynamics_tpu.ff.params import FFParams
+
+LANE = 128  # pad atoms to the TPU lane width
+
+
+def _kernel(
+    x_ref, y_ref, z_ref,  # (BR, LANES) coordinate blocks
+    qq_ref, a_ref, b_ref, m_ref,  # nonbonded tables (LANES, LANES)
+    kb_ref, d0_ref,  # harmonic-pair tables
+    a14_ref, b14_ref, qq14_ref,  # pre-scaled 1-4 tables
+    fx_ref, fy_ref, fz_ref, e_ref,  # (BR, LANES) outputs
+    *, cutoff2: float, krf: float, crf: float,
+    switch_dist: float, inv_switch_span: float,
+):
+    qq = qq_ref[:][None]
+    aa = a_ref[:][None]
+    bb = b_ref[:][None]
+    msym = m_ref[:][None]
+    kb = kb_ref[:][None]
+    d0 = d0_ref[:][None]
+    a14 = a14_ref[:][None]
+    b14 = b14_ref[:][None]
+    qq14 = qq14_ref[:][None]
+
+    x = x_ref[:]
+    y = y_ref[:]
+    z = z_ref[:]
+    dx = x[:, :, None] - x[:, None, :]
+    dy = y[:, :, None] - y[:, None, :]
+    dz = z[:, :, None] - z[:, None, :]
+    d2 = dx * dx + dy * dy + dz * dz
+
+    # union of active pair sets decides where a distance must exist
+    mb = kb > 0.0
+    m14 = qq14 != 0.0
+    m = jnp.where(d2 <= cutoff2, msym, 0.0)
+    live = (m > 0.0) | mb | m14 | (a14 != 0.0)
+    safe = jnp.where(live, d2, 1.0)
+    rinv = jax.lax.rsqrt(safe)
+    rinv2 = rinv * rinv
+    d = d2 * rinv  # == sqrt(d2) where live
+
+    # --- cutoff nonbonded: RFA Coulomb + switched LJ ---
+    pot_e = qq * (rinv + krf * d2 - crf)
+    coeff_e = qq * (2.0 * krf - rinv2 * rinv)
+
+    rinv6 = rinv2 * rinv2 * rinv2
+    a12 = aa * rinv6 * rinv6
+    b6 = bb * rinv6
+    pot_l = a12 - b6
+    dudr = (6.0 * b6 - 12.0 * a12) * rinv
+    t = (d - switch_dist) * inv_switch_span
+    sw = 1.0 + t * t * t * (-10.0 + t * (15.0 - t * 6.0))
+    dsw = t * t * (-30.0 + t * (60.0 - t * 30.0)) * inv_switch_span
+    on = d > switch_dist
+    coeff_l = jnp.where(on, (dudr * sw + pot_l * dsw) * rinv, dudr * rinv)
+    pot_l = jnp.where(on, pot_l * sw, pot_l)
+
+    pot = m * (pot_e + pot_l)
+    coeff = m * (coeff_e + coeff_l)
+
+    # --- harmonic bond/UB pairs: E = k (d - d0)^2 (forces.py:492-501) ---
+    delta = d - d0
+    pot = pot + jnp.where(mb, kb * delta * delta, 0.0)
+    coeff = coeff + jnp.where(mb, 2.0 * kb * delta * rinv, 0.0)
+
+    # --- 1-4 scaled LJ + plain Coulomb (forces.py:176-226) ---
+    a14_12 = a14 * rinv6 * rinv6
+    b14_6 = b14 * rinv6
+    pot = pot + a14_12 - b14_6 + qq14 * rinv
+    coeff = coeff + (6.0 * b14_6 - 12.0 * a14_12) * rinv2 - qq14 * rinv2 * rinv
+
+    # F_i = -sum_j coeff_ij * (r_i - r_j)
+    fx_ref[:] = -jnp.sum(coeff * dx, axis=2)
+    fy_ref[:] = -jnp.sum(coeff * dy, axis=2)
+    fz_ref[:] = -jnp.sum(coeff * dz, axis=2)
+    e_ref[:] = 0.5 * jnp.sum(pot, axis=2)
+
+
+def _build_pair_tables(ff: FFParams, include_ub: bool, n_pad: int):
+    """Host-side dense pair tables for all 2-body terms."""
+    n = ff.n_atoms
+
+    def pad(t):
+        out = np.zeros((n_pad, n_pad), np.float32)
+        out[:n, :n] = np.asarray(t, np.float32)
+        return out
+
+    qq = pad(ff.qq_pair)
+    aa = pad(ff.lj_a_pair)
+    bb = pad(ff.lj_b_pair)
+    msym = pad(np.asarray(ff.nb_mask, np.float32))
+    msym = msym + msym.T
+
+    kb = np.zeros((n_pad, n_pad), np.float32)
+    d0 = np.zeros((n_pad, n_pad), np.float32)
+    rows = [(np.asarray(ff.bonds), np.asarray(ff.bond_params))]
+    if include_ub and ff.ub_bonds.shape[0]:
+        rows.append((np.asarray(ff.ub_bonds), np.asarray(ff.ub_params)))
+    for idx, par in rows:
+        for (i, j), (k, r0) in zip(idx, par):
+            for a, b in ((i, j), (j, i)):
+                if kb[a, b] != 0.0:
+                    raise ValueError("harmonic pair collision in pair tables")
+                kb[a, b] = k
+                d0[a, b] = r0
+
+    a14 = np.zeros((n_pad, n_pad), np.float32)
+    b14 = np.zeros((n_pad, n_pad), np.float32)
+    qq14 = np.zeros((n_pad, n_pad), np.float32)
+    charges = np.asarray(ff.charges)
+    idx14 = np.asarray(ff.idx14)
+    nb14 = np.asarray(ff.nb14_params)
+    for (i, j), (a, b, scnb, scee) in zip(idx14, nb14):
+        # duplicates accumulate — identical to summing per-pair energies
+        a14[i, j] += a / scnb
+        a14[j, i] += a / scnb
+        b14[i, j] += b / scnb
+        b14[j, i] += b / scnb
+        q = units.ELEC_FACTOR * charges[i] * charges[j] / scee
+        qq14[i, j] += q
+        qq14[j, i] += q
+    return tuple(
+        jnp.asarray(t) for t in (qq, aa, bb, msym, kb, d0, a14, b14, qq14)
+    )
+
+
+def make_nonbonded_op(
+    ff: FFParams,
+    cutoff: float = 9.0,
+    switch_dist: float = 7.5,
+    rfa: bool = True,
+    solvent_dielectric: float = units.SOLVENT_DIELECTRIC,
+    include_bonds: bool = True,
+    include_14: bool = True,
+    include_ub: bool = False,
+    block_r: int = 8,
+    interpret: bool = False,
+):
+    """Build ``pair_terms(pos (R, N, 3)) -> (energy (R,), forces (R, N, 3))``.
+
+    Covers LJ+Coulomb plus (by default) bonds and scaled 1-4 terms in one
+    fused VMEM pass; differentiable via custom_vjp (backward falls back to
+    the XLA path). ``include_bonds=False``/``include_14=False`` reduce it to
+    the pure nonbonded kernel.
+    """
+    n = ff.n_atoms
+    n_pad = ((n + LANE - 1) // LANE) * LANE
+    if rfa:
+        denom = 2.0 * solvent_dielectric + 1.0
+        krf = (solvent_dielectric - 1.0) / (denom * cutoff**3)
+        crf = 3.0 * solvent_dielectric / (denom * cutoff)
+    else:
+        krf, crf = 0.0, 0.0
+
+    tables = list(_build_pair_tables(ff, include_ub, n_pad))
+    if not include_bonds:
+        tables[4] = jnp.zeros_like(tables[4])
+        tables[5] = jnp.zeros_like(tables[5])
+    if not include_14:
+        tables[6] = jnp.zeros_like(tables[6])
+        tables[7] = jnp.zeros_like(tables[7])
+        tables[8] = jnp.zeros_like(tables[8])
+    tables = tuple(tables)
+
+    kern = functools.partial(
+        _kernel,
+        cutoff2=float(cutoff) ** 2 if cutoff is not None else 1e30,
+        krf=float(krf),
+        crf=float(crf),
+        switch_dist=float(switch_dist if switch_dist is not None else 1e15),
+        inv_switch_span=float(
+            1.0 / (cutoff - switch_dist)
+            if (switch_dist is not None and cutoff is not None)
+            else 0.0
+        ),
+    )
+
+    def _run(pos):
+        r0 = pos.shape[0]
+        r = ((r0 + block_r - 1) // block_r) * block_r
+        if r != r0:  # pad ragged batches with copies of the first replica
+            pos = jnp.concatenate(
+                [pos, jnp.broadcast_to(pos[:1], (r - r0,) + pos.shape[1:])]
+            )
+        coords = jnp.zeros((3, r, n_pad), jnp.float32)
+        coords = coords.at[:, :, :n].set(
+            jnp.moveaxis(pos.astype(jnp.float32), -1, 0)
+        )
+        xs, ys, zs = coords[0], coords[1], coords[2]
+
+        row_spec = pl.BlockSpec(
+            (block_r, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        tab_spec = pl.BlockSpec(
+            (n_pad, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((r, n_pad), jnp.float32)
+        fx, fy, fz, e = pl.pallas_call(
+            kern,
+            grid=(r // block_r,),
+            in_specs=[row_spec] * 3 + [tab_spec] * 9,
+            out_specs=[row_spec] * 4,
+            out_shape=[out_shape] * 4,
+            interpret=interpret,
+        )(xs, ys, zs, *tables)
+        forces = jnp.stack(
+            [fx[:r0, :n], fy[:r0, :n], fz[:r0, :n]], axis=-1
+        )
+        return jnp.sum(e[:r0, :n], axis=1), forces.astype(pos.dtype)
+
+    # --- XLA reference for the backward pass (and parity tests) ---
+    import dataclasses as _dc
+
+    from molecular_dynamics_tpu.energy import EnergyConfig, energy_terms
+
+    terms = ["electrostatics", "lj"]
+    if include_bonds:
+        terms.append("bonds")
+    if include_14:
+        terms += ["dihedrals", "1-4"]  # 1-4 requires dihedrals enabled
+    ref_cfg = EnergyConfig(
+        terms=tuple(terms),
+        cutoff=cutoff,
+        rfa=rfa,
+        solvent_dielectric=solvent_dielectric,
+        switch_dist=switch_dist,
+        urey_bradley=include_ub,
+    )
+
+    def _ref_energy(pos):
+        def one(p):
+            t = energy_terms(p, ff, config=ref_cfg)
+            total = t["electrostatics"] + t["lj"]
+            if include_bonds:
+                total = total + t["bonds"]
+            if include_ub:
+                total = total + t.get("urey_bradley", 0.0)
+            # NOTE: t["dihedrals"] (the torsion energy itself) is NOT part of
+            # this op — only the 1-4 pair terms folded into lj/elec are.
+            return total
+
+        return jax.vmap(one)(pos)
+
+    def _ref_forces(pos):
+        return -jax.vmap(jax.grad(lambda p: jnp.sum(_ref_energy(p[None]))))(pos)
+
+    @jax.custom_vjp
+    def pair_terms(pos):
+        return _run(pos)
+
+    def fwd(pos):
+        return _run(pos), pos
+
+    def bwd(pos, cot):
+        g_e, g_f = cot
+        _, vjp_e = jax.vjp(_ref_energy, pos)
+        (g1,) = vjp_e(g_e)
+        _, vjp_f = jax.vjp(_ref_forces, pos)
+        (g2,) = vjp_f(g_f)
+        return (g1 + g2,)
+
+    pair_terms.defvjp(fwd, bwd)
+    pair_terms.reference_energy = _ref_energy
+    pair_terms.reference_forces = _ref_forces
+    return pair_terms

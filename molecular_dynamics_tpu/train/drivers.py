@@ -1,0 +1,554 @@
+"""End-to-end training drivers for every model family.
+
+The runnable equivalent of the reference's per-experiment scripts
+(gan.py/cgan.py/HNN-Full.py/lstm.py/... __main__ blocks): load or generate
+trajectories, build the family's model + jitted steps, run epochs with CSV
+logging, best-checkpoint keeping and loss plots, and emit generated .xyz
+trajectories for VMD at the end.
+
+When no ``--data`` glob is given the driver *regenerates* a small SMD
+dataset on-device first (the reference needs a NAMD cluster campaign for
+this; here it is one vmapped rollout).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def _bootstrap_dataset(ff, coords, out_dir, n_replicas=8, n_steps=4000):
+    """Generate SMD trajectories on-device (mini 210905_SMD campaign)."""
+    import jax
+    import jax.numpy as jnp
+
+    from molecular_dynamics_tpu import (
+        HarmonicSMDBias,
+        maxwell_boltzmann,
+        minimize_fire,
+        system_init,
+        total_energy,
+    )
+    from molecular_dynamics_tpu.energy import REFERENCE_CONFIG
+    from molecular_dynamics_tpu.integrate import initialize_forces
+    from molecular_dynamics_tpu.sim import SimulationConfig, simulate_ensemble
+    from molecular_dynamics_tpu.system import replicate
+
+    force = lambda p: -jax.grad(
+        lambda q: total_energy(q, ff, config=REFERENCE_CONFIG)
+    )(p)
+    pos = jax.jit(
+        lambda p: minimize_fire(p, force, n_steps=1000, dt_start=0.001, dt_max=0.01)
+    )(jnp.asarray(coords, jnp.float32))
+    n = ff.n_atoms
+    d0 = float(jnp.linalg.norm(pos[-1] - pos[0]))
+    bias = HarmonicSMDBias.create(
+        n_atoms=n, group1=[0], group2=[n - 1], fk=1.0,
+        cent_0=d0, cent_1=d0 + 8.0, T=float(n_steps),
+    )
+    key = jax.random.PRNGKey(0)
+    state = system_init(
+        pos, vel=maxwell_boltzmann(key, ff.masses, 300.0), key=key
+    )
+    state = initialize_forces(
+        state,
+        lambda p, b: -jax.grad(
+            lambda q: total_energy(q, ff, config=REFERENCE_CONFIG)
+            + bias.energy(q, 0)
+        )(p),
+    )
+    ens = replicate(state, n_replicas, seed=1)
+    _, frames, _ = simulate_ensemble(
+        ens, ff, n_steps, save_every=50,
+        config=SimulationConfig(dt_fs=1.0), bias=bias,
+    )
+    frames = np.moveaxis(np.asarray(frames), 1, 0)  # (R, saves, N, 3)
+    os.makedirs(out_dir, exist_ok=True)
+    for r in range(n_replicas):
+        np.save(os.path.join(out_dir, f"raw-traj_rep-{r}.npy"), frames[r])
+    return frames
+
+
+def run_training(
+    family: str,
+    data: str = "",
+    topology: str = "example:backbone",
+    parameters: str = "",
+    epochs: int = 3,
+    batch_size: int = 32,
+    out_dir: str = "runs",
+    seed: int = 0,
+) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from molecular_dynamics_tpu.cli import _load_system
+    from molecular_dynamics_tpu.log import CSVLogger, plot_losses
+    from molecular_dynamics_tpu.train.checkpoint import BestKeeper
+    from molecular_dynamics_tpu.train.datasets import TrajectoryData
+
+    out_dir = os.path.join(out_dir, family)
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+
+    ff, coords, names = _load_system(topology, parameters)
+    if data:
+        traj = TrajectoryData.from_npy_glob(data)
+    else:
+        frames = _bootstrap_dataset(ff, coords, os.path.join(out_dir, "data"))
+        traj = TrajectoryData.from_array(frames)
+
+    logger = CSVLogger(
+        os.path.join(out_dir, "train_log.csv"),
+        ["epoch", "step", "loss", "wall_s"],
+    )
+    keeper = BestKeeper(os.path.join(out_dir, "best.ckpt"))
+    curves = {"loss": []}
+    t_start = time.time()
+
+    runner = _FAMILIES[family]
+    final = runner(
+        ff=ff,
+        traj=traj,
+        epochs=epochs,
+        batch_size=batch_size,
+        rng=rng,
+        key=key,
+        logger=logger,
+        keeper=keeper,
+        curves=curves,
+        out_dir=out_dir,
+        names=names,
+    )
+    plot_losses(os.path.join(out_dir, "loss.png"), curves, title=family)
+    logger.close()
+    print(
+        f"{family}: {epochs} epochs in {time.time() - t_start:.1f}s, "
+        f"best loss {keeper.best:.4f}, artifacts in {out_dir}"
+    )
+    return 0
+
+
+def _log(logger, curves, keeper, params, epoch, step, loss, t0):
+    import math
+
+    logger.write_row(
+        epoch=epoch, step=step, loss=float(loss),
+        wall_s=round(time.time() - t0, 2),
+    )
+    curves["loss"].append(float(loss))
+    if math.isfinite(float(loss)):
+        keeper.update(float(loss), params)
+
+
+def _export_xyz(path, coords_batch, names):
+    from molecular_dynamics_tpu.io import write_xyz
+
+    write_xyz(path, np.asarray(coords_batch), symbols=[str(n) for n in names])
+
+
+# --- family runners ---------------------------------------------------------
+
+
+def _run_pretrain(ff, traj, epochs, batch_size, rng, key, logger, keeper,
+                  curves, out_dir, names):
+    import jax
+    import jax.numpy as jnp
+
+    from molecular_dynamics_tpu.models.cgan import Generator
+    from molecular_dynamics_tpu.train.cgan import make_pretrain_step
+    from molecular_dynamics_tpu.train.datasets import frame_time_batches
+
+    gen = Generator(n_atoms=ff.n_atoms)
+    opt, step = make_pretrain_step(gen, ff)
+    z0 = jnp.zeros((1, 31))
+    params = gen.init(key, z0, jnp.zeros((1,)))
+    opt_state = opt.init(params)
+    t0 = time.time()
+    i = 0
+    for epoch in range(epochs):
+        alpha = min(1.0, epoch / max(epochs - 1, 1))  # potential curriculum
+        for frames, times in frame_time_batches(traj, batch_size, rng):
+            key, sub = jax.random.split(key)
+            params, opt_state, loss, _ = step(
+                params, opt_state, sub, jnp.asarray(frames),
+                jnp.asarray(times), alpha,
+            )
+            i += 1
+            if i % 10 == 0:
+                _log(logger, curves, keeper, params, epoch, i, loss, t0)
+    # generation sweep -> xyz
+    t = jnp.linspace(0, 1, 20)
+    z = jax.random.normal(key, (20, 31))
+    coords = gen.apply(params, z, t, method=Generator.coords)
+    _export_xyz(os.path.join(out_dir, "pretrain_generated.xyz"), coords, names)
+    return params
+
+
+def _run_cgan(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
+              out_dir, names):
+    import jax
+    import jax.numpy as jnp
+
+    from molecular_dynamics_tpu import HarmonicSMDBias
+    from molecular_dynamics_tpu.models.cgan import Discriminator, Generator
+    from molecular_dynamics_tpu.train.cgan import CGANConfig, make_cgan_trainer
+    from molecular_dynamics_tpu.train.datasets import frame_time_batches
+
+    n = ff.n_atoms
+    gen = Generator(n_atoms=n)
+    disc = Discriminator()
+    bias = HarmonicSMDBias.create(
+        n_atoms=n, group1=[0], group2=[n - 1], fk=1.0,
+        cent_0=12.0, cent_1=34.0, T=10000.0,
+    )
+    init_fn, (og, od, oi), g_step, d_step, informed_step = make_cgan_trainer(
+        gen, disc, ff, bias=bias, config=CGANConfig()
+    )
+    g_params, d_params = init_fn(key)
+    g_opt, d_opt, i_opt = og.init(g_params), od.init(d_params), oi.init(g_params)
+    t0 = time.time()
+    i = 0
+    for epoch in range(epochs):
+        for frames, times in frame_time_batches(traj, batch_size, rng):
+            key, k1, k2, k3 = jax.random.split(key, 4)
+            t_b = jnp.asarray(times)
+            g_params, g_opt, g_loss = g_step(g_params, g_opt, d_params, k1, t_b)
+            d_params, d_opt, d_loss = d_step(
+                d_params, d_opt, g_params, k2, jnp.asarray(frames), t_b
+            )
+            g_params, i_opt, i_loss = informed_step(g_params, i_opt, k3, t_b)
+            i += 1
+            if i % 10 == 0:
+                _log(logger, curves, keeper, g_params, epoch, i, g_loss, t0)
+    t = jnp.linspace(0, 1, 20)
+    z = jax.random.normal(key, (20, 31))
+    coords = gen.apply(g_params, z, t, method=Generator.coords)
+    _export_xyz(os.path.join(out_dir, "cGAN_generated.xyz"), coords, names)
+    return g_params
+
+
+def _run_hnn(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
+             out_dir, names):
+    import jax
+    import jax.numpy as jnp
+
+    from molecular_dynamics_tpu.models.hnn import HNN, rollout
+    from molecular_dynamics_tpu.train.datasets import phase_space_pairs
+    from molecular_dynamics_tpu.train.hnn import HNNTrainConfig, make_hnn_trainer
+
+    x, dx = phase_space_pairs(traj)
+    model = HNN(hidden=(200, 200))
+    cfg = HNNTrainConfig()
+    opt, l2_step, informed_step, _ = make_hnn_trainer(model, ff, config=cfg)
+    params = model.init(key, jnp.zeros((x.shape[1],)))
+    opt_state = opt.init(params)
+    t0 = time.time()
+    i = 0
+    for epoch in range(epochs):
+        order = rng.permutation(len(x))
+        for s in range(0, len(order) - batch_size + 1, batch_size):
+            sel = order[s : s + batch_size]
+            xb, dxb = jnp.asarray(x[sel]), jnp.asarray(dx[sel])
+            if i % cfg.potential_every == cfg.potential_every - 1:
+                params, opt_state, loss, _ = informed_step(
+                    params, opt_state, xb, dxb
+                )
+            else:
+                params, opt_state, loss = l2_step(params, opt_state, xb, dxb)
+            i += 1
+            if i % 10 == 0:
+                _log(logger, curves, keeper, params, epoch, i, loss, t0)
+            if i >= 200 * (epoch + 1):
+                break  # bounded epoch on the ~2M-sample dataset
+    frames = rollout(model, params, jnp.asarray(x[0]), n_steps=200, dt=cfg.dt)
+    half = frames.shape[1] // 2
+    coords = np.asarray(frames[:, :half]).reshape(len(frames), -1, 3)
+    _export_xyz(os.path.join(out_dir, "HNN_generated.xyz"), coords, names)
+    return params
+
+
+def _run_lstm(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
+              out_dir, names, nll=False):
+    import jax
+    import jax.numpy as jnp
+
+    from molecular_dynamics_tpu.features import phi_psi_indices
+    from molecular_dynamics_tpu.models.seq import LSTMNLLPredictor, LSTMPredictor
+    from molecular_dynamics_tpu.train.datasets import window_batches
+    from molecular_dynamics_tpu.train.seq import (
+        SeqTrainConfig,
+        autoregressive_rollout,
+        make_nll_trainer,
+        make_window_trainer,
+    )
+
+    n = ff.n_atoms
+    feat = n * 3
+    history, lead = 15, 2
+    if nll:
+        model = LSTMNLLPredictor(out_dim=feat)
+        opt, step = make_nll_trainer(model)
+    else:
+        model = LSTMPredictor(out_dim=feat)
+        # phi/psi index tables are only known for named topologies; fall
+        # back to the dihedral table from the force field
+        phi_idx = np.asarray(ff.dihedrals)[: max(1, n // 4)]
+        psi_idx = np.asarray(ff.dihedrals)[max(1, n // 4) :][: max(1, n // 4)]
+        opt, step = make_window_trainer(
+            model, phi_idx, psi_idx, SeqTrainConfig(n_atoms=n)
+        )
+    params = model.init(key, jnp.zeros((1, history, feat)))
+    opt_state = opt.init(params)
+    t0 = time.time()
+    i = 0
+    for epoch in range(epochs):
+        for window, target in window_batches(
+            traj, history, lead, batch_size, rng
+        ):
+            params, opt_state, loss = step(
+                params, opt_state, jnp.asarray(window), jnp.asarray(target)
+            )
+            i += 1
+            if i % 10 == 0:
+                _log(logger, curves, keeper, params, epoch, i, loss, t0)
+    if not nll:
+        w0 = jnp.asarray(
+            traj.trajectories[0][:history].reshape(history, feat)
+        )
+        frames = autoregressive_rollout(model, params, w0, n_steps=100)
+        coords = np.asarray(frames).reshape(-1, n, 3)
+        _export_xyz(os.path.join(out_dir, "LSTM_generated.xyz"), coords, names)
+    return params
+
+
+def _run_seq2seq(ff, traj, epochs, batch_size, rng, key, logger, keeper,
+                 curves, out_dir, names):
+    import jax
+    import jax.numpy as jnp
+
+    from molecular_dynamics_tpu.models.seq import Seq2Seq
+    from molecular_dynamics_tpu.train.seq import make_seq2seq_trainer
+
+    n = ff.n_atoms
+    feat = n * 3
+    history, decode_len = 10, 5
+    model = Seq2Seq(out_dim=feat)
+    opt, step = make_seq2seq_trainer(model, decode_len)
+    params = model.init(
+        key, jnp.zeros((1, history, feat)), jax.random.PRNGKey(0), decode_len
+    )
+    opt_state = opt.init(params)
+    t0 = time.time()
+    i = 0
+    for epoch in range(epochs):
+        for t_arr in traj.trajectories:
+            flat = t_arr.reshape(len(t_arr), -1)
+            for s in range(0, len(flat) - history - decode_len, batch_size):
+                wins = np.stack([
+                    flat[s + j : s + j + history]
+                    for j in range(min(batch_size, len(flat) - s - history - decode_len))
+                ])
+                tgts = np.stack([
+                    flat[s + j + history : s + j + history + decode_len]
+                    for j in range(len(wins))
+                ])
+                key, sub = jax.random.split(key)
+                params, opt_state, loss = step(
+                    params, opt_state, sub, jnp.asarray(wins), jnp.asarray(tgts)
+                )
+                i += 1
+                if i % 10 == 0:
+                    _log(logger, curves, keeper, params, epoch, i, loss, t0)
+    return params
+
+
+def _run_flow(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
+              out_dir, names):
+    import jax
+    import jax.numpy as jnp
+
+    from molecular_dynamics_tpu.features import minmax_fit, minmax_scale, minmax_unscale
+    from molecular_dynamics_tpu.models.flows import RealNVP
+    from molecular_dynamics_tpu.train.datasets import frame_time_batches
+    from molecular_dynamics_tpu.train.generative import make_flow_trainer
+
+    n = ff.n_atoms
+    frames_all, _ = traj.stacked()
+    flat = jnp.asarray(frames_all.reshape(len(frames_all), -1))
+    lo, hi = minmax_fit(flat)
+    model = RealNVP(dim=n * 3, n_coupling=6)
+    opt, step = make_flow_trainer(model)
+    params = model.init(key, jnp.zeros((1, n * 3)), jnp.zeros((1, 1)))
+    opt_state = opt.init(params)
+    t0 = time.time()
+    i = 0
+    for epoch in range(epochs):
+        for frames, times in frame_time_batches(traj, batch_size, rng):
+            x = minmax_scale(
+                jnp.asarray(frames.reshape(len(frames), -1)), lo, hi
+            )
+            params, opt_state, loss = step(
+                params, opt_state, x, jnp.asarray(times)[:, None]
+            )
+            i += 1
+            if i % 10 == 0:
+                _log(logger, curves, keeper, params, epoch, i, loss, t0)
+    samples = model.apply(
+        params, key, jnp.array([0.5]), 20, method=RealNVP.sample
+    )
+    coords = np.asarray(minmax_unscale(samples, lo, hi)).reshape(20, n, 3)
+    _export_xyz(os.path.join(out_dir, "cFlow_generated.xyz"), coords, names)
+    return params
+
+
+def _run_vae(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
+             out_dir, names):
+    import jax
+    import jax.numpy as jnp
+
+    from molecular_dynamics_tpu.models.vae import ConditionalVAE
+    from molecular_dynamics_tpu.train.datasets import frame_time_batches
+    from molecular_dynamics_tpu.train.generative import make_vae_trainer
+
+    n = ff.n_atoms
+    model = ConditionalVAE(out_dim=n * 3)
+    opt, step = make_vae_trainer(model)
+    params = model.init(
+        key, jnp.zeros((1, n * 3)), jnp.zeros((1,), jnp.int32), key
+    )
+    opt_state = opt.init(params)
+    t0 = time.time()
+    i = 0
+    for epoch in range(epochs):
+        for frames, times in frame_time_batches(traj, batch_size, rng):
+            bucket = jnp.asarray(
+                np.minimum((times * 10).astype(np.int32), 9)
+            )
+            key, sub = jax.random.split(key)
+            params, opt_state, loss = step(
+                params, opt_state, sub,
+                jnp.asarray(frames.reshape(len(frames), -1)), bucket,
+            )
+            i += 1
+            if i % 10 == 0:
+                _log(logger, curves, keeper, params, epoch, i, loss, t0)
+    z = jax.random.normal(key, (10, model.latent_dim))
+    coords = np.asarray(
+        model.apply(params, z, jnp.arange(10), method=ConditionalVAE.decode)
+    ).reshape(10, n, 3)
+    _export_xyz(os.path.join(out_dir, "VAE_generated.xyz"), coords, names)
+    return params
+
+
+def _run_transformer(ff, traj, epochs, batch_size, rng, key, logger, keeper,
+                     curves, out_dir, names):
+    import jax.numpy as jnp
+
+    from molecular_dynamics_tpu.models.transformer import TrajectoryTransformer
+    from molecular_dynamics_tpu.train.datasets import window_batches
+    from molecular_dynamics_tpu.train.seq import make_nll_trainer  # noqa: F401
+    import jax
+    import optax
+
+    n = ff.n_atoms
+    feat = n * 3
+    history = 11
+    model = TrajectoryTransformer(out_dim=feat, d_model=64)
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-4))
+
+    @jax.jit
+    def step(params, opt_state, window, target):
+        def loss(p):
+            return jnp.mean((model.apply(p, window) - target) ** 2)
+
+        val, grads = jax.value_and_grad(loss)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, val
+
+    params = model.init(key, jnp.zeros((1, history, feat)))
+    opt_state = opt.init(params)
+    t0 = time.time()
+    i = 0
+    for epoch in range(epochs):
+        for window, target in window_batches(traj, history, 1, batch_size, rng):
+            params, opt_state, loss = step(
+                params, opt_state, jnp.asarray(window), jnp.asarray(target)
+            )
+            i += 1
+            if i % 10 == 0:
+                _log(logger, curves, keeper, params, epoch, i, loss, t0)
+    return params
+
+
+def _run_gat(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
+             out_dir, names):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from molecular_dynamics_tpu.models.gat import GATSimulator
+
+    n = ff.n_atoms
+    hist = 2
+    model = GATSimulator(latent=64, n_processors=3, k=min(40, n - 1))
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-4))
+
+    # GNS dataset: velocities by finite difference, targets = accelerations
+    t_arr = traj.trajectories[0]
+    vel = np.diff(t_arr, axis=0)
+    acc = np.diff(vel, axis=0)
+
+    @jax.jit
+    def step(params, opt_state, pos, v1, v2, target_acc):
+        def loss(p):
+            nodes = jnp.concatenate([pos, v1, v2], axis=-1)
+            pred = jax.vmap(lambda nd, ps: model.apply(p, nd, ps))(nodes, pos)
+            return jnp.mean((pred - target_acc) ** 2)
+
+        val, grads = jax.value_and_grad(loss)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, val
+
+    nodes0 = jnp.concatenate(
+        [jnp.asarray(t_arr[2]), jnp.asarray(vel[1]), jnp.asarray(vel[0])],
+        axis=-1,
+    )
+    params = model.init(key, nodes0, jnp.asarray(t_arr[2]))
+    opt_state = opt.init(params)
+    t0 = time.time()
+    i = 0
+    idx = np.arange(2, len(t_arr) - 1)
+    for epoch in range(epochs):
+        order = rng.permutation(idx)
+        for s in range(0, len(order) - batch_size + 1, batch_size):
+            sel = order[s : s + batch_size]
+            params, opt_state, loss = step(
+                params, opt_state,
+                jnp.asarray(t_arr[sel]),
+                jnp.asarray(vel[sel - 1]),
+                jnp.asarray(vel[sel - 2]),
+                jnp.asarray(acc[sel - 1]),
+            )
+            i += 1
+            if i % 10 == 0:
+                _log(logger, curves, keeper, params, epoch, i, loss, t0)
+    return params
+
+
+_FAMILIES = {
+    "pretrain": _run_pretrain,
+    "cgan": _run_cgan,
+    "hnn": _run_hnn,
+    "lstm": _run_lstm,
+    "lstm-nll": lambda **kw: _run_lstm(nll=True, **kw),
+    "seq2seq": _run_seq2seq,
+    "flow": _run_flow,
+    "vae": _run_vae,
+    "transformer": _run_transformer,
+    "gat": _run_gat,
+}

@@ -1,0 +1,220 @@
+"""Training harness: losses, datasets, one update step per family."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from molecular_dynamics_tpu.train.datasets import (
+    TrajectoryData,
+    frame_time_batches,
+    window_batches,
+    phase_space_pairs,
+)
+from molecular_dynamics_tpu.train.losses import (
+    potential_loss,
+    distance_matrix_loss,
+    rmsd_loss,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="module")
+def small_traj(rng):
+    # 2 trajectories x 30 frames x 10 atoms
+    return TrajectoryData.from_array(rng.normal(0, 3, (2, 30, 10, 3)))
+
+
+class TestDatasets:
+    def test_frame_time_batches(self, small_traj, rng):
+        batches = list(frame_time_batches(small_traj, 8, rng))
+        assert len(batches) == 60 // 8
+        frames, times = batches[0]
+        assert frames.shape == (8, 10, 3)
+        assert times.shape == (8,)
+        assert 0 <= times.min() and times.max() <= 1
+
+    def test_window_batches(self, small_traj, rng):
+        w, t = next(iter(window_batches(small_traj, 5, 2, 4, rng)))
+        assert w.shape == (4, 5, 30)
+        assert t.shape == (4, 30)
+
+    def test_phase_space_pairs(self, small_traj):
+        x, dx = phase_space_pairs(small_traj)
+        assert x.shape[1] == 2 * 30
+        # invariant the reference asserts (HNN-Full.py:82): x + dx == next x
+        np.testing.assert_allclose(x[0] + dx[0], x[1], rtol=1e-5)
+
+
+class TestLosses:
+    def test_potential_loss_batched_equals_mean(self, backbone_system, rng):
+        top, ff, coords = backbone_system
+        batch = jnp.asarray(
+            np.stack([coords + rng.normal(0, 0.05, coords.shape) for _ in range(4)])
+        )
+        from molecular_dynamics_tpu.energy import REFERENCE_CONFIG, energy_terms
+
+        loss = jax.jit(lambda b: potential_loss(b, ff, REFERENCE_CONFIG))(batch)
+        singles = [
+            float(sum(
+                jax.jit(lambda p: energy_terms(p, ff, config=REFERENCE_CONFIG))(
+                    batch[i]
+                ).values()
+            ))
+            for i in range(4)
+        ]
+        assert float(loss) == pytest.approx(np.mean(singles), rel=1e-6)
+
+    def test_term_weights(self, backbone_system):
+        top, ff, coords = backbone_system
+        from molecular_dynamics_tpu.energy import REFERENCE_CONFIG
+
+        only_bonds = jax.jit(
+            lambda b: potential_loss(
+                b, ff, REFERENCE_CONFIG, term_weights={"bonds": 2.0}
+            )
+        )(jnp.asarray(coords)[None])
+        from molecular_dynamics_tpu.energy import energy_terms
+
+        e = jax.jit(lambda p: energy_terms(p, ff, config=REFERENCE_CONFIG))(
+            jnp.asarray(coords)
+        )
+        assert float(only_bonds) == pytest.approx(2 * float(e["bonds"]), rel=1e-6)
+
+    def test_geometry_losses(self, rng):
+        a = jnp.asarray(rng.normal(0, 3, (3, 10, 3)))
+        assert float(distance_matrix_loss(a, a)) == 0.0
+        assert float(rmsd_loss(a, a)) < 1e-5
+        # rmsd invariant under rigid rotation
+        theta = 0.7
+        rot = jnp.array(
+            [[np.cos(theta), -np.sin(theta), 0],
+             [np.sin(theta), np.cos(theta), 0],
+             [0, 0, 1.0]]
+        )
+        b = a @ rot.T
+        assert float(rmsd_loss(a, b)) < 1e-4
+
+
+class TestUpdateSteps:
+    def test_cgan_three_phases(self, backbone_system, rng):
+        top, ff32, coords = backbone_system
+        import jax.numpy as jnp
+        from molecular_dynamics_tpu.examples import BACKBONE_FF_PRM
+        from molecular_dynamics_tpu.ff import YamlForceField, build_ff_params
+        from molecular_dynamics_tpu import HarmonicSMDBias
+        from molecular_dynamics_tpu.models.cgan import Discriminator, Generator
+        from molecular_dynamics_tpu.train.cgan import CGANConfig, make_cgan_trainer
+
+        ff = build_ff_params(top, YamlForceField(BACKBONE_FF_PRM))
+        gen = Generator(n_atoms=40, hidden=(32,))
+        disc = Discriminator(hidden=(32,))
+        bias = HarmonicSMDBias.create(
+            n_atoms=40, group1=[0], group2=[39], fk=1.0,
+            cent_0=12.0, cent_1=34.0, T=10000.0,
+        )
+        init_fn, (og, od, oi), g_step, d_step, i_step = make_cgan_trainer(
+            gen, disc, ff, bias=bias, config=CGANConfig()
+        )
+        g_params, d_params = init_fn(KEY)
+        g_opt, d_opt, i_opt = og.init(g_params), od.init(d_params), oi.init(g_params)
+        t = jnp.linspace(0, 1, 8)
+        real = jnp.asarray(
+            np.stack([coords + rng.normal(0, 0.05, coords.shape) for _ in range(8)]),
+            jnp.float32,
+        )
+        g_params, g_opt, g_loss = g_step(g_params, g_opt, d_params, KEY, t)
+        d_params, d_opt, d_loss = d_step(d_params, d_opt, g_params, KEY, real, t)
+        g_params2, i_opt, i_loss = i_step(g_params, i_opt, KEY, t)
+        assert np.isfinite(float(g_loss)) and np.isfinite(float(d_loss))
+        assert np.isfinite(float(i_loss))
+        # informed step actually changed the generator
+        leaves_before = jax.tree.leaves(g_params)
+        leaves_after = jax.tree.leaves(g_params2)
+        assert any(
+            float(jnp.max(jnp.abs(a - b))) > 0
+            for a, b in zip(leaves_before, leaves_after)
+        )
+
+    def test_pretrain_step_loss_decreases(self, backbone_system, rng):
+        top, _, coords = backbone_system
+        import jax.numpy as jnp
+        from molecular_dynamics_tpu.examples import BACKBONE_FF_PRM
+        from molecular_dynamics_tpu.ff import YamlForceField, build_ff_params
+        from molecular_dynamics_tpu.models.cgan import Generator
+        from molecular_dynamics_tpu.train.cgan import make_pretrain_step
+
+        ff = build_ff_params(top, YamlForceField(BACKBONE_FF_PRM))
+        gen = Generator(n_atoms=40, hidden=(64,))
+        opt, step = make_pretrain_step(gen, ff, lr=1e-3)
+        params = gen.init(KEY, jnp.zeros((1, 31)), jnp.zeros((1,)))
+        opt_state = opt.init(params)
+        real = jnp.asarray(
+            np.broadcast_to(coords, (8,) + coords.shape), jnp.float32
+        )
+        t = jnp.linspace(0, 1, 8)
+        losses = []
+        key = KEY
+        for i in range(25):
+            key, sub = jax.random.split(key)
+            params, opt_state, loss, _ = step(
+                params, opt_state, sub, real, t, 0.0
+            )
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+
+    def test_hnn_steps(self, backbone_system, rng):
+        top, _, coords = backbone_system
+        import jax.numpy as jnp
+        from molecular_dynamics_tpu.examples import BACKBONE_FF_PRM
+        from molecular_dynamics_tpu.ff import YamlForceField, build_ff_params
+        from molecular_dynamics_tpu.models.hnn import HNN
+        from molecular_dynamics_tpu.train.hnn import make_hnn_trainer
+
+        ff = build_ff_params(top, YamlForceField(BACKBONE_FF_PRM))
+        model = HNN(hidden=(32,))
+        opt, l2_step, informed_step, unroll_step = make_hnn_trainer(model, ff)
+        dim = 2 * 40 * 3
+        params = model.init(KEY, jnp.zeros((dim,)))
+        opt_state = opt.init(params)
+        x = jnp.asarray(rng.normal(0, 0.1, (4, dim)), jnp.float32)
+        dx = jnp.asarray(rng.normal(0, 0.01, (4, dim)), jnp.float32)
+        params, opt_state, l1 = l2_step(params, opt_state, x, dx)
+        params, opt_state, l2, (l2_part, pot) = informed_step(
+            params, opt_state, x, dx
+        )
+        x_seq = jnp.asarray(rng.normal(0, 0.01, (4, 3, dim)), jnp.float32)
+        params, opt_state, l3 = unroll_step(params, opt_state, x, x_seq)
+        for v in (l1, l2, l3):
+            assert np.isfinite(float(v))
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        import jax.numpy as jnp
+        from molecular_dynamics_tpu.models.cgan import Generator
+        from molecular_dynamics_tpu.train import checkpoint
+
+        gen = Generator(n_atoms=10, hidden=(16,))
+        params = gen.init(KEY, jnp.zeros((1, 31)), jnp.zeros((1,)))
+        path = str(tmp_path / "g.ckpt")
+        checkpoint.save(path, params)
+        template = gen.init(jax.random.PRNGKey(1), jnp.zeros((1, 31)), jnp.zeros((1,)))
+        restored, resumed = checkpoint.resume_or_init(path, template)
+        assert resumed
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_csv_logger_resume(self, tmp_path):
+        from molecular_dynamics_tpu.log import CSVLogger
+
+        p = str(tmp_path / "log.csv")
+        log = CSVLogger(p, ["epoch", "loss"])
+        log.write_row(epoch=0, loss=1.5)
+        log.write_row(epoch=1, loss=0.75)
+        log.close()
+        assert CSVLogger.last_value(p, "epoch") == 1.0
+        # append mode resumes without rewriting the header
+        log2 = CSVLogger(p, ["epoch", "loss"])
+        log2.write_row(epoch=2, loss=0.5)
+        log2.close()
+        assert CSVLogger.last_value(p, "loss") == 0.5
