@@ -19,6 +19,11 @@ import time
 os.environ.setdefault("JAX_PLATFORMS", "")
 
 import jax
+
+if os.environ.get("MDX_BENCH_RBG", "1") == "1":
+    # rbg PRNG: cheaper per-step thermostat noise on TPU than threefry
+    jax.config.update("jax_default_prng_impl", "rbg")
+
 import jax.numpy as jnp
 import numpy as np
 

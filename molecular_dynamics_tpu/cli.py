@@ -197,6 +197,61 @@ def cmd_train(args) -> int:
     )
 
 
+def cmd_convert(args) -> int:
+    """Trajectory conversion: dcd/xtc/xyz -> npy with selection + alignment.
+
+    The Data_Processing_Scripts equivalents (dcd_to_npy-2.0.py,
+    dcd_to_backbone_npy-2.0.py, dcd_to_aligned_backbone_npy-2.0.py).
+    """
+    import numpy as np
+
+    from molecular_dynamics_tpu.io import read_dcd, read_xyz
+
+    if args.input.endswith(".dcd"):
+        frames, _ = read_dcd(args.input)
+    elif args.input.endswith(".xyz"):
+        frames = read_xyz(args.input)
+    elif args.input.endswith((".xtc", ".mdxtc")):
+        from molecular_dynamics_tpu.io import native
+
+        frames = native.xtc_read(args.input)
+    else:
+        frames = np.load(args.input)
+
+    if args.selection == "backbone":
+        if not args.topology:
+            print("--topology required for backbone selection", file=sys.stderr)
+            return 2
+        from molecular_dynamics_tpu.io import read_psf
+
+        top = read_psf(args.topology)
+        keep = np.isin(
+            np.asarray([str(n) for n in top.atom_names]),
+            ["N", "CA", "C", "O"],
+        )
+        frames = frames[:, keep]
+
+    if args.align:
+        import jax
+        import jax.numpy as jnp
+
+        from molecular_dynamics_tpu.features import kabsch_align
+
+        ref = jnp.asarray(frames[0], jnp.float64)
+
+        def align(f):
+            r, t = kabsch_align(f, ref)
+            return f @ r.T + t
+
+        frames = np.asarray(
+            jax.jit(jax.vmap(align))(jnp.asarray(frames, jnp.float64))
+        )
+
+    np.save(args.output, np.asarray(frames, np.float32))
+    print(f"{args.input} -> {args.output} {frames.shape}")
+    return 0
+
+
 def cmd_bench(args) -> int:
     import subprocess
 
@@ -237,6 +292,17 @@ def main(argv=None) -> int:
     p_tr.add_argument("--out-dir", default="runs")
     p_tr.add_argument("--seed", type=int, default=0)
     p_tr.set_defaults(fn=cmd_train)
+
+    p_cv = sub.add_parser("convert", help="trajectory -> npy conversion")
+    p_cv.add_argument("input")
+    p_cv.add_argument("output")
+    p_cv.add_argument(
+        "--selection", choices=["all", "backbone"], default="all"
+    )
+    p_cv.add_argument("--align", action="store_true",
+                      help="Kabsch-align all frames to the first")
+    p_cv.add_argument("--topology", default=None)
+    p_cv.set_defaults(fn=cmd_convert)
 
     p_be = sub.add_parser("bench", help="run the headline benchmark")
     p_be.set_defaults(fn=cmd_bench)

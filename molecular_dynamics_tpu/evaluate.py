@@ -1,0 +1,89 @@
+"""Generation-quality evaluators.
+
+The reference's per-experiment ``test.py`` drivers compute end-to-end
+distance statistics of generated ensembles against the data along the
+reaction coordinate (GAN_V12.3.1_*/test.py:31-55) and export autoregressive
+rollouts. This module makes those first-class.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from molecular_dynamics_tpu.bias import end_to_end_distance
+from molecular_dynamics_tpu.features import aligned_rmsd
+
+
+def e2e_statistics(
+    frames: np.ndarray, i: int = 0, j: int = -1, n_buckets: int = 10
+) -> Dict[str, np.ndarray]:
+    """End-to-end distance mean/std per reaction-coordinate bucket.
+
+    ``frames`` is (n_frames, N, 3) ordered along the trajectory/reaction
+    coordinate; returns per-bucket statistics (the reference's per-frame
+    mean-e2e dict, GAN_V17.12/gan.py:35-56).
+    """
+    d = np.asarray(
+        end_to_end_distance(jnp.asarray(frames), i, j)
+    )
+    buckets = np.array_split(d, n_buckets)
+    return {
+        "mean": np.array([b.mean() for b in buckets]),
+        "std": np.array([b.std() for b in buckets]),
+        "all": d,
+    }
+
+
+def compare_e2e(
+    generated: np.ndarray,
+    data: np.ndarray,
+    i: int = 0,
+    j: int = -1,
+    n_buckets: int = 10,
+) -> Dict[str, float]:
+    """Per-bucket e2e discrepancy between generated and data ensembles."""
+    g = e2e_statistics(generated, i, j, n_buckets)
+    d = e2e_statistics(data, i, j, n_buckets)
+    return {
+        "mean_abs_error": float(np.mean(np.abs(g["mean"] - d["mean"]))),
+        "max_abs_error": float(np.max(np.abs(g["mean"] - d["mean"]))),
+        "std_abs_error": float(np.mean(np.abs(g["std"] - d["std"]))),
+    }
+
+
+def ensemble_rmsd_to_reference(
+    frames: np.ndarray, reference: np.ndarray
+) -> np.ndarray:
+    """Kabsch-aligned RMSD of every frame to a reference structure."""
+    ref = jnp.asarray(reference)
+    return np.asarray(
+        jax.vmap(lambda f: aligned_rmsd(f, ref))(jnp.asarray(frames))
+    )
+
+
+# ---------------------------------------------------------------------------
+# whitening (the reference's "whitened"/"unwhitened" dataset variants,
+# Hamiltonian/.../train-whitened.py, LSTM_V6_Unwhitened)
+# ---------------------------------------------------------------------------
+
+
+def whiten_fit(frames: np.ndarray):
+    """Per-feature mean/std over a trajectory set; returns (mean, std)."""
+    flat = np.asarray(frames).reshape(len(frames), -1)
+    return flat.mean(axis=0), flat.std(axis=0) + 1e-8
+
+
+def whiten(frames: np.ndarray, mean: np.ndarray, std: np.ndarray):
+    shape = frames.shape
+    flat = np.asarray(frames).reshape(len(frames), -1)
+    return ((flat - mean) / std).reshape(shape)
+
+
+def unwhiten(frames: np.ndarray, mean: np.ndarray, std: np.ndarray):
+    shape = frames.shape
+    flat = np.asarray(frames).reshape(len(frames), -1)
+    return (flat * std + mean).reshape(shape)

@@ -40,6 +40,8 @@ def build_ff_params(
     ff,
     terms: Sequence[str] = ("bonds", "angles", "dihedrals", "impropers", "1-4", "lj"),
     exclusions: Sequence[str] = ("bonds", "angles", "1-4"),
+    charges_from: str = "ff",
+    urey_bradley: bool = False,
     dtype=None,
 ) -> FFParams:
     """Build dense force-field parameters for one system.
@@ -47,6 +49,14 @@ def build_ff_params(
     ``ff`` must expose the type-keyed getter protocol of
     ``mdx.ff.YamlForceField`` (get_charge/get_mass/get_LJ/get_bond/get_angle/
     get_dihedral/get_14/get_improper).
+
+    ``charges_from``: "ff" assigns charges/masses by atom *type* from the
+    force field (torchmd semantics, used by the YAML path); "topology" takes
+    the per-atom columns from the PSF/topology (the NAMD convention — required
+    for CHARMM .prm parameter files, which carry no charges).
+
+    ``urey_bradley=True`` additionally builds 1-3 UB springs when the force
+    field exposes ``get_urey_bradley`` (CHARMM .prm files).
     """
     import jax.numpy as jnp
 
@@ -56,8 +66,12 @@ def build_ff_params(
     n = len(atom_types)
     uq_types, type_idx = np.unique(atom_types.astype(str), return_inverse=True)
 
-    charges = np.array([ff.get_charge(t) for t in uq_types])[type_idx]
-    masses = np.array([ff.get_mass(t) for t in uq_types])[type_idx]
+    if charges_from == "topology":
+        charges = np.asarray(top.charges, np.float64)
+        masses = np.asarray(top.masses, np.float64)
+    else:
+        charges = np.array([ff.get_charge(t) for t in uq_types])[type_idx]
+        masses = np.array([ff.get_mass(t) for t in uq_types])[type_idx]
 
     # LJ per-type tables expanded to per-atom-pair matrices.
     lj_a_pair = np.zeros((n, n))
@@ -119,6 +133,19 @@ def build_ff_params(
             [ff.get_improper(*(atom_types[i]))] for i in impropers
         ]
 
+    ub_bonds = None
+    ub_params = None
+    if urey_bradley and hasattr(ff, "get_urey_bradley") and len(angles):
+        ub_rows, ub_pars = [], []
+        for a in angles:
+            ub = ff.get_urey_bradley(*(atom_types[a]))
+            if ub is not None:
+                ub_rows.append((a[0], a[2]))
+                ub_pars.append(ub)
+        if ub_rows:
+            ub_bonds = np.array(ub_rows, np.int64)
+            ub_params = np.array(ub_pars, np.float64)
+
     return finalize_ff_params(
         masses=masses,
         charges=charges,
@@ -135,5 +162,7 @@ def build_ff_params(
         lj_a_pair=lj_a_pair,
         lj_b_pair=lj_b_pair,
         exclusions=exclusions,
+        ub_bonds=ub_bonds,
+        ub_params=ub_params,
         dtype=dtype,
     )

@@ -11,6 +11,7 @@ from molecular_dynamics_tpu.io.pdb import read_pdb, write_pdb
 from molecular_dynamics_tpu.io.xyz import write_xyz, read_xyz
 from molecular_dynamics_tpu.io.prmtop import read_prmtop, prmtop_to_ff_params
 from molecular_dynamics_tpu.io.dcd import read_dcd, write_dcd
+from molecular_dynamics_tpu.io.charmm_prm import CharmmPrm
 
 __all__ = [
     "read_psf",
@@ -22,4 +23,5 @@ __all__ = [
     "prmtop_to_ff_params",
     "read_dcd",
     "write_dcd",
+    "CharmmPrm",
 ]

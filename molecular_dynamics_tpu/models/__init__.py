@@ -26,7 +26,16 @@ from molecular_dynamics_tpu.models.seq import (
     LSTMPredictor,
     LSTMNLLPredictor,
     Seq2Seq,
+    Seq2SeqNLL,
+    SequenceDiscriminator,
 )
+from molecular_dynamics_tpu.models.schnet import SchNet, CfConv
+from molecular_dynamics_tpu.models.autoencoder import (
+    MLPAutoencoder,
+    LatentHNN,
+    LatentDiscriminator,
+)
+from molecular_dynamics_tpu.models.gat import LSTMGAT
 from molecular_dynamics_tpu.models.gat import GATSimulator, DenseGATLayer
 from molecular_dynamics_tpu.models.transformer import TrajectoryTransformer
 from molecular_dynamics_tpu.models.sde import SDEGenerator, CDEDiscriminator
@@ -54,4 +63,12 @@ __all__ = [
     "odeint_field",
     "rk4_rollout",
     "hnn_field",
+    "Seq2SeqNLL",
+    "SequenceDiscriminator",
+    "SchNet",
+    "CfConv",
+    "MLPAutoencoder",
+    "LatentHNN",
+    "LatentDiscriminator",
+    "LSTMGAT",
 ]

@@ -63,6 +63,31 @@ class GATSimulator(nn.Module):
         return nn.Dense(self.node_out)(h)
 
 
+class LSTMGAT(nn.Module):
+    """LSTM temporal encoder feeding a GAT spatial decoder — the hybrid
+    family (Molecule_Dynamics_v2/LSTM_GAT_V2/lstm.py:64-125): a history
+    window of per-atom features is encoded per atom by an LSTM, then the
+    final hidden states are refined over the kNN graph by GAT layers."""
+
+    out_dim: int = 3
+    hidden_size: int = 64
+    latent: int = 64
+    n_processors: int = 2
+    k: int = 10
+
+    @nn.compact
+    def __call__(self, history: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+        """history: (N, T, F) per-atom time series; pos: (N, 3)."""
+        h = nn.RNN(nn.OptimizedLSTMCell(self.hidden_size))(
+            history.astype(jnp.float32)
+        )[..., -1, :]  # (N, H)
+        adj = knn_graph_mask(pos, min(self.k, pos.shape[-2] - 1))
+        h = nn.relu(nn.Dense(self.latent)(h))
+        for _ in range(self.n_processors):
+            h = h + nn.relu(DenseGATLayer(self.latent)(h, adj))
+        return nn.Dense(self.out_dim)(h)
+
+
 def gns_rollout(
     model: GATSimulator,
     params,

@@ -1,0 +1,63 @@
+"""Dense SchNet: continuous-filter convolutions over atom distances.
+
+Re-design of the reference's hand-rolled SchNet
+(Hamiltonian/Mol-HNN-cuda-v4.2/cuda_nn_models.py:90-149): a ``Cfconv`` block
+weights neighbour features by a filter network of the pairwise distances
+(the reference uses exp(-||ri - rj||)), followed by interaction blocks with
+shifted-softplus activations. At reference scale (N <= a few hundred) the
+convolution is a dense (N, N) matmul — MXU work, no sparse ops.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from molecular_dynamics_tpu.features import distance_matrix
+
+
+def shifted_softplus(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.softplus(x) - jnp.log(2.0)
+
+
+class CfConv(nn.Module):
+    """Continuous-filter convolution: h_i' = sum_j W(d_ij) * h_j."""
+
+    features: int
+    filter_hidden: int = 64
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray, dist: jnp.ndarray) -> jnp.ndarray:
+        # filter network on the distance kernel exp(-d) (cuda_nn_models.py:95)
+        w = jnp.exp(-dist)[..., None]  # (N, N, 1)
+        w = shifted_softplus(nn.Dense(self.filter_hidden)(w))
+        w = shifted_softplus(nn.Dense(self.features)(w))  # (N, N, F)
+        return jnp.einsum("ijf,jf->if", w, h)
+
+
+class SchNet(nn.Module):
+    """Embedding -> 3 interaction blocks -> atomwise readout."""
+
+    features: int = 64
+    n_interactions: int = 3
+    out_dim: int = 1
+    readout: str = "sum"  # "sum" | "atoms"
+
+    @nn.compact
+    def __call__(self, pos: jnp.ndarray, atom_types: jnp.ndarray) -> jnp.ndarray:
+        dist = distance_matrix(pos)
+        h = nn.Embed(64, self.features)(atom_types)
+        for _ in range(self.n_interactions):
+            v = nn.Dense(self.features)(h)
+            v = CfConv(self.features)(v, dist)
+            v = nn.Dense(self.features)(shifted_softplus(v))
+            h = h + v  # residual interaction
+        out = nn.Dense(self.out_dim)(
+            shifted_softplus(nn.Dense(self.features // 2)(h))
+        )
+        if self.readout == "sum":
+            return jnp.sum(out, axis=-2)
+        return out

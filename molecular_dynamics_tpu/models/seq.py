@@ -60,6 +60,20 @@ def gaussian_nll(mu, sigma, target):
     )
 
 
+class SequenceDiscriminator(nn.Module):
+    """LSTM critic over a rolled-out trajectory — the adversarial Seq2Seq
+    variant's discriminator (Molecule_Dynamics_v1/Seq2Seq_Position_GAN_V1/
+    lstm.py:99-237): consumes (batch, T, features), scores the sequence."""
+
+    hidden_size: int = 128
+
+    @nn.compact
+    def __call__(self, seq: jnp.ndarray) -> jnp.ndarray:
+        seq = seq.astype(jnp.float32)
+        h = nn.RNN(nn.OptimizedLSTMCell(self.hidden_size))(seq)[..., -1, :]
+        return nn.Dense(1)(h)[..., 0]
+
+
 class Seq2Seq(nn.Module):
     """Encode a history window; decode a future sequence fed by noise.
 
@@ -75,6 +89,7 @@ class Seq2Seq(nn.Module):
     def __call__(
         self, window: jnp.ndarray, key, decode_len: int
     ) -> jnp.ndarray:
+        window = window.astype(jnp.float32)
         enc_cell = nn.OptimizedLSTMCell(self.hidden_size)
         dec_cell = nn.OptimizedLSTMCell(self.hidden_size)
         head = nn.Dense(self.out_dim)
@@ -94,3 +109,37 @@ class Seq2Seq(nn.Module):
             carry, h = dec_cell(carry, noise[..., i, :])
             outs.append(head(h))
         return jnp.stack(outs, axis=-2)
+
+
+class Seq2SeqNLL(nn.Module):
+    """Seq2Seq with a Gaussian (mu, sigma) head per decoded step —
+    the Seq2Seq_NLL_V1 variant (Molecule_Dynamics_v2/Seq2Seq_NLL.py)."""
+
+    out_dim: int
+    hidden_size: int = 256
+    noise_dim: int = 16
+    min_sigma: float = 1e-3
+
+    @nn.compact
+    def __call__(self, window, key, decode_len: int):
+        window = window.astype(jnp.float32)
+        enc_cell = nn.OptimizedLSTMCell(self.hidden_size)
+        dec_cell = nn.OptimizedLSTMCell(self.hidden_size)
+        mu_head = nn.Dense(self.out_dim)
+        sigma_head = nn.Dense(self.out_dim)
+
+        batch_shape = window.shape[:-2]
+        carry = enc_cell.initialize_carry(
+            jax.random.PRNGKey(0), batch_shape + (window.shape[-1],)
+        )
+        for i in range(window.shape[-2]):
+            carry, _ = enc_cell(carry, window[..., i, :])
+        noise = jax.random.normal(
+            key, batch_shape + (decode_len, self.noise_dim), jnp.float32
+        )
+        mus, sigmas = [], []
+        for i in range(decode_len):
+            carry, h = dec_cell(carry, noise[..., i, :])
+            mus.append(mu_head(h))
+            sigmas.append(nn.softplus(sigma_head(h)) + self.min_sigma)
+        return jnp.stack(mus, axis=-2), jnp.stack(sigmas, axis=-2)

@@ -66,6 +66,22 @@ def system_init(
     )
 
 
+def wrap_positions(
+    pos: jnp.ndarray, box: jnp.ndarray, center: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
+    """Wrap coordinates back into the primary box for visualisation.
+
+    The torchmd ``Wrapper`` step of the reference's dynamics loop
+    (Test-1/tutorial.ipynb cell 13/18). No-op on zero-box (vacuum) axes.
+    """
+    box = jnp.asarray(box, pos.dtype)
+    if center is None:
+        center = jnp.mean(pos, axis=-2, keepdims=True)
+    safe = jnp.where(box > 0, box, 1.0)
+    shift = safe * jnp.round((pos - center) / safe)
+    return jnp.where(box > 0, pos - shift, pos)
+
+
 def replicate(state: MDState, n_replicas: int, seed: int = 0) -> MDState:
     """Broadcast a single-system state to a replica ensemble.
 

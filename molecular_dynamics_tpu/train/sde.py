@@ -11,6 +11,7 @@ through the differentiable energy stack.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -52,7 +53,7 @@ def make_sde_gan_trainer(
         d_params = discriminator.init(kd, fake, ts)
         return g_params, d_params
 
-    @jax.jit
+    @functools.partial(jax.jit, static_argnums=4)
     def g_step(g_params, g_opt, d_params, key, batch_size):
         def loss(gp):
             fake = generator.apply(gp, key, ts, batch_size)
@@ -77,7 +78,7 @@ def make_sde_gan_trainer(
         new = jax.tree.map(lambda w: jnp.clip(w, -clip, clip), new)
         return new, d_opt, val
 
-    @jax.jit
+    @functools.partial(jax.jit, static_argnums=3)
     def informed_step(g_params, g_opt, key, batch_size):
         """Potential-loss injection through the energy stack
         (sde.py:437-478); paths decode to (B*T, N, 3) coordinates."""

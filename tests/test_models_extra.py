@@ -1,0 +1,180 @@
+"""Extended model-zoo members: SDE-GAN, SchNet, AEs, hybrids, NODE, eval."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+KEY = jax.random.PRNGKey(0)
+
+
+class TestSDEGAN:
+    def test_generator_paths(self):
+        from molecular_dynamics_tpu.models.sde import SDEGenerator
+
+        gen = SDEGenerator(data_dim=12, latent_dim=8, noise_dim=4, hidden=(16,))
+        ts = jnp.linspace(0.0, 1.0, 6)
+        params = gen.init(KEY, KEY, ts, 3)
+        paths = gen.apply(params, jax.random.PRNGKey(1), ts, 3)
+        assert paths.shape == (3, 6, 12)
+        assert bool(jnp.all(jnp.isfinite(paths)))
+        # different noise -> different paths
+        paths2 = gen.apply(params, jax.random.PRNGKey(2), ts, 3)
+        assert float(jnp.max(jnp.abs(paths - paths2))) > 1e-6
+
+    def test_discriminator_and_training_steps(self):
+        from molecular_dynamics_tpu.models.sde import (
+            CDEDiscriminator,
+            SDEGenerator,
+        )
+        from molecular_dynamics_tpu.train.sde import (
+            SDEGANConfig,
+            make_sde_gan_trainer,
+        )
+
+        ts = jnp.linspace(0.0, 1.0, 5)
+        gen = SDEGenerator(data_dim=6, latent_dim=8, noise_dim=2, hidden=(16,))
+        disc = CDEDiscriminator(data_dim=6, hidden_dim=8, f_hidden=(16,))
+        init_fn, opts, g_step, d_step, informed, swa = make_sde_gan_trainer(
+            gen, disc, ts, config=SDEGANConfig()
+        )
+        g_params, d_params = init_fn(KEY, 3)
+        g_opt = opts[0].init(g_params)
+        d_opt = opts[1].init(d_params)
+        real = jax.random.normal(jax.random.PRNGKey(3), (3, 5, 6))
+        g_params, g_opt, gl = g_step(g_params, g_opt, d_params, KEY, 3)
+        d_params, d_opt, dl = d_step(d_params, d_opt, g_params, KEY, real)
+        assert np.isfinite(float(gl)) and np.isfinite(float(dl))
+        # critic weights clamped
+        maxw = max(
+            float(jnp.max(jnp.abs(l))) for l in jax.tree.leaves(d_params)
+        )
+        assert maxw <= 0.98 + 1e-6
+        avg = swa(g_params, g_params)
+        assert jax.tree.structure(avg) == jax.tree.structure(g_params)
+
+
+class TestSchNet:
+    def test_forward(self):
+        from molecular_dynamics_tpu.models.schnet import SchNet
+
+        m = SchNet(features=16, n_interactions=2, out_dim=1)
+        pos = jax.random.normal(KEY, (12, 3)) * 3
+        types = jnp.arange(12) % 4
+        params = m.init(KEY, pos, types)
+        out = m.apply(params, pos, types)
+        assert out.shape == (1,)
+        g = jax.grad(lambda p: m.apply(params, p, types)[0])(pos)
+        assert bool(jnp.all(jnp.isfinite(g)))
+
+
+class TestAutoencoders:
+    def test_mlp_ae(self):
+        from molecular_dynamics_tpu.models.autoencoder import MLPAutoencoder
+
+        ae = MLPAutoencoder(in_dim=30, latent_dim=6, hidden=(32,))
+        x = jax.random.normal(KEY, (4, 30))
+        params = ae.init(KEY, x)
+        recon, z = ae.apply(params, x)
+        assert recon.shape == (4, 30) and z.shape == (4, 6)
+
+    def test_latent_hnn(self):
+        from molecular_dynamics_tpu.models.autoencoder import LatentHNN
+
+        m = LatentHNN(in_dim=30, latent_dim=8, ae_hidden=(32,), hnn_hidden=(16,))
+        x = jax.random.normal(KEY, (4, 30))
+        params = m.init(KEY, x)
+        recon, z, fields = m.apply(params, x)
+        assert z.shape == (4, 8) and fields.shape == (4, 2)
+
+    def test_aae_losses(self):
+        import optax  # noqa: F401
+        from molecular_dynamics_tpu.models.autoencoder import (
+            LatentDiscriminator,
+            MLPAutoencoder,
+            aae_losses,
+        )
+
+        ae = MLPAutoencoder(in_dim=20, latent_dim=4, hidden=(16,))
+        d = LatentDiscriminator(hidden=(16,))
+        x = jax.random.normal(KEY, (8, 20))
+        ap = ae.init(KEY, x)
+        recon, z = ae.apply(ap, x)
+        dp = d.init(KEY, z)
+        fake_logits = d.apply(dp, z)
+        real_logits = d.apply(dp, jax.random.normal(KEY, z.shape))
+        rec, g_adv, d_loss = aae_losses(recon, x, fake_logits, real_logits)
+        for v in (rec, g_adv, d_loss):
+            assert np.isfinite(float(v))
+
+
+class TestSeqVariants:
+    def test_seq2seq_nll(self):
+        from molecular_dynamics_tpu.models.seq import Seq2SeqNLL, gaussian_nll
+
+        m = Seq2SeqNLL(out_dim=12, hidden_size=16, noise_dim=4)
+        w = jax.random.normal(KEY, (2, 4, 12))
+        params = m.init(KEY, w, jax.random.PRNGKey(1), 3)
+        mu, sigma = m.apply(params, w, jax.random.PRNGKey(2), 3)
+        assert mu.shape == sigma.shape == (2, 3, 12)
+        assert bool(jnp.all(sigma > 0))
+        assert np.isfinite(float(gaussian_nll(mu, sigma, jnp.zeros_like(mu))))
+
+    def test_sequence_discriminator(self):
+        from molecular_dynamics_tpu.models.seq import SequenceDiscriminator
+
+        d = SequenceDiscriminator(hidden_size=16)
+        seq = jax.random.normal(KEY, (3, 7, 12))
+        params = d.init(KEY, seq)
+        out = d.apply(params, seq)
+        assert out.shape == (3,)
+
+
+class TestHybrids:
+    def test_lstm_gat(self):
+        from molecular_dynamics_tpu.models.gat import LSTMGAT
+
+        m = LSTMGAT(out_dim=3, hidden_size=16, latent=16, n_processors=1, k=4)
+        hist = jax.random.normal(KEY, (10, 5, 6))
+        pos = jax.random.normal(KEY, (10, 3)) * 3
+        params = m.init(KEY, hist, pos)
+        out = m.apply(params, hist, pos)
+        assert out.shape == (10, 3)
+
+
+class TestNODE:
+    def test_rk4_and_odeint_agree(self):
+        from molecular_dynamics_tpu.models.node import odeint_field, rk4_rollout
+
+        field = lambda x, t: -x  # exponential decay
+        x0 = jnp.ones((4,))
+        traj = rk4_rollout(field, x0, n_steps=10, dt=0.1)
+        expect = jnp.exp(-0.1 * jnp.arange(1, 11))[:, None] * x0
+        np.testing.assert_allclose(np.asarray(traj), np.asarray(expect), rtol=1e-4)
+        ts = jnp.linspace(0.0, 1.0, 11)
+        sol = odeint_field(field, x0, ts)
+        np.testing.assert_allclose(
+            np.asarray(sol[-1]), np.exp(-1.0) * np.ones(4), rtol=1e-4
+        )
+
+
+class TestEvaluate:
+    def test_e2e_statistics_and_compare(self, rng):
+        from molecular_dynamics_tpu.evaluate import compare_e2e, e2e_statistics
+
+        frames = rng.normal(0, 1, (50, 10, 3))
+        frames[:, -1, 0] += np.linspace(5, 15, 50)  # growing e2e
+        stats = e2e_statistics(frames, 0, -1, n_buckets=5)
+        assert stats["mean"].shape == (5,)
+        assert stats["mean"][-1] > stats["mean"][0]
+        res = compare_e2e(frames, frames)
+        assert res["mean_abs_error"] == 0.0
+
+    def test_whitening_roundtrip(self, rng):
+        from molecular_dynamics_tpu.evaluate import whiten, whiten_fit, unwhiten
+
+        frames = rng.normal(3, 2, (20, 8, 3))
+        mean, std = whiten_fit(frames)
+        w = whiten(frames, mean, std)
+        assert abs(w.reshape(20, -1).mean()) < 1e-10
+        np.testing.assert_allclose(unwhiten(w, mean, std), frames, rtol=1e-10)
