@@ -55,6 +55,8 @@ class SimulationConfig:
     #: VMEM-resident kernel with analytic forces. Requires lj+electrostatics
     #: in the energy terms and no PBC.
     fused_nonbonded: bool = False
+    #: replicas per Pallas grid program (VMEM use scales with it)
+    kernel_block_r: int = 8
 
 
 def make_step_fn(
@@ -129,6 +131,7 @@ def make_ensemble_step_fn(
             include_bonds=True,
             include_14=True,
             include_ub=config.energy.urey_bradley,
+            block_r=config.kernel_block_r,
         )
         at_op = make_angle_torsion_op(ff)
         if bias is not None:

@@ -151,6 +151,20 @@ def _export_xyz(path, coords_batch, names):
     write_xyz(path, np.asarray(coords_batch), symbols=[str(n) for n in names])
 
 
+def _whitened(traj):
+    """Whiten a TrajectoryData in place-style (the reference's 'whitened'
+    dataset variants); returns (whitened TrajectoryData, mean, std)."""
+    from molecular_dynamics_tpu.evaluate import whiten, whiten_fit
+    from molecular_dynamics_tpu.train.datasets import TrajectoryData
+
+    stacked = np.concatenate(traj.trajectories)
+    mean, std = whiten_fit(stacked)
+    white = TrajectoryData(
+        [whiten(t, mean, std).astype(np.float32) for t in traj.trajectories]
+    )
+    return white, mean, std
+
+
 # --- family runners ---------------------------------------------------------
 
 
@@ -290,6 +304,7 @@ def _run_lstm(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     n = ff.n_atoms
     feat = n * 3
     history, lead = 15, 2
+    traj, w_mean, w_std = _whitened(traj)
     if nll:
         model = LSTMNLLPredictor(out_dim=feat)
         opt, step = make_nll_trainer(model)
@@ -317,11 +332,15 @@ def _run_lstm(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
             if i % 10 == 0:
                 _log(logger, curves, keeper, params, epoch, i, loss, t0)
     if not nll:
+        from molecular_dynamics_tpu.evaluate import unwhiten
+
         w0 = jnp.asarray(
             traj.trajectories[0][:history].reshape(history, feat)
         )
         frames = autoregressive_rollout(model, params, w0, n_steps=100)
-        coords = np.asarray(frames).reshape(-1, n, 3)
+        coords = unwhiten(
+            np.asarray(frames).reshape(-1, n, 3), w_mean, w_std
+        )
         _export_xyz(os.path.join(out_dir, "LSTM_generated.xyz"), coords, names)
     return params
 
@@ -337,6 +356,7 @@ def _run_seq2seq(ff, traj, epochs, batch_size, rng, key, logger, keeper,
     n = ff.n_atoms
     feat = n * 3
     history, decode_len = 10, 5
+    traj, _, _ = _whitened(traj)
     model = Seq2Seq(out_dim=feat)
     opt, step = make_seq2seq_trainer(model, decode_len)
     params = model.init(
@@ -416,6 +436,7 @@ def _run_vae(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     from molecular_dynamics_tpu.train.generative import make_vae_trainer
 
     n = ff.n_atoms
+    traj, w_mean, w_std = _whitened(traj)
     model = ConditionalVAE(out_dim=n * 3)
     opt, step = make_vae_trainer(model)
     params = model.init(
@@ -437,10 +458,16 @@ def _run_vae(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
             i += 1
             if i % 10 == 0:
                 _log(logger, curves, keeper, params, epoch, i, loss, t0)
+    from molecular_dynamics_tpu.evaluate import unwhiten
+
     z = jax.random.normal(key, (10, model.latent_dim))
-    coords = np.asarray(
-        model.apply(params, z, jnp.arange(10), method=ConditionalVAE.decode)
-    ).reshape(10, n, 3)
+    coords = unwhiten(
+        np.asarray(
+            model.apply(params, z, jnp.arange(10), method=ConditionalVAE.decode)
+        ).reshape(10, n, 3),
+        w_mean,
+        w_std,
+    )
     _export_xyz(os.path.join(out_dir, "VAE_generated.xyz"), coords, names)
     return params
 
@@ -458,6 +485,7 @@ def _run_transformer(ff, traj, epochs, batch_size, rng, key, logger, keeper,
     n = ff.n_atoms
     feat = n * 3
     history = 11
+    traj, _, _ = _whitened(traj)
     model = TrajectoryTransformer(out_dim=feat, d_model=64)
     opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-4))
 
@@ -502,6 +530,11 @@ def _run_gat(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     t_arr = traj.trajectories[0]
     vel = np.diff(t_arr, axis=0)
     acc = np.diff(vel, axis=0)
+    # normalize finite-difference scales (strided frames make raw acc huge)
+    acc_scale = float(np.abs(acc).mean()) + 1e-8
+    vel_scale = float(np.abs(vel).mean()) + 1e-8
+    vel = vel / vel_scale
+    acc = acc / acc_scale
 
     @jax.jit
     def step(params, opt_state, pos, v1, v2, target_acc):
