@@ -70,7 +70,8 @@ def main():
         temperature=300.0,
         gamma_ps=1.0,
         fused_nonbonded=os.environ.get("MDX_BENCH_FUSED", "1") == "1",
-        kernel_block_r=int(os.environ.get("MDX_BENCH_BLOCK_R", 8)),
+        kernel_variant=os.environ.get("MDX_BENCH_KERNEL", "ring"),
+        kernel_block_r=int(os.environ.get("MDX_BENCH_BLOCK_R", 0)),
     )
     step_fn = make_ensemble_step_fn(ff, cfg, bias)
 

@@ -42,13 +42,19 @@ def _diff_matrix_t(n_atoms: int, plus: np.ndarray, minus: np.ndarray, rows: int)
     return d
 
 
-def make_angle_torsion_op(ff: FFParams, dtype=jnp.float32):
+def make_angle_torsion_op(ff: FFParams, dtype=jnp.float32, precision=None):
     """Build ``angle_torsion(pos (R, N, 3)) -> (energy (R,), forces (R, N, 3))``.
 
     Covers angles + dihedrals + impropers (multi-term, AMBER/CHARMM branch).
     Fully differentiable (plain jax — forces ARE the gradient), no gathers.
+
+    ``precision``: matmul precision for the bond-vector extraction; defaults
+    to full f32 (Precision.HIGHEST). The fused simulation path passes
+    Precision.HIGH (bf16x3): force error ~1e-4 relative — beneath thermostat
+    noise — for ~35% fewer MXU passes.
     """
     n = ff.n_atoms
+    mm = _MM if precision is None else precision
 
     # --- angles ---
     angles = np.asarray(ff.angles)
@@ -116,9 +122,9 @@ def make_angle_torsion_op(ff: FFParams, dtype=jnp.float32):
         tor_msk = jnp.asarray(msk_all)
 
     def _extract(xyz, d):
-        """Per-axis bond vectors: 3 x (R, N) @ (N, A) full-precision matmuls."""
+        """Per-axis bond vectors: 3 x (R, N) @ (N, A) matmuls."""
         return tuple(
-            jnp.matmul(c, d, precision=_MM) for c in xyz
+            jnp.matmul(c, d, precision=mm) for c in xyz
         )
 
     def energy(pos: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,258 @@
+"""Ring-shift pair-terms kernel: each unordered pair computed exactly once.
+
+The dense kernel (``ops.nonbonded``) evaluates the full symmetric (N, N)
+matrix — every pair twice. This variant pairs atom ``i`` with atom
+``(i + k) mod L`` for shifts k = 1..L/2 (L = lane-padded atom count): a
+classic round-robin covering where every unordered pair appears exactly once
+(the k = L/2 shift covers each twice and is pre-scaled by 0.5 in its table
+row). Per shift the work is a lane-wide (BR, L) vector op with the partner
+coordinates produced by an incremental one-lane ``pltpu.roll`` — so the
+pair-term element count halves versus the dense kernel, at the cost of 6
+lane-rotations per shift.
+
+Partner-force accumulation uses the rolled-accumulator identity: iterating
+shifts k = L/2..1 with ``A <- roll(A, 1) + c_k`` and one final roll gives
+``A = sum_k roll(c_k, k)`` without ever materialising per-shift rolls of
+arbitrary distance.
+
+Same physics and tables as the dense kernel (LJ+switch, RFA Coulomb, bonds/
+UB, pre-scaled 1-4), same custom_vjp fallback; parity-tested against both.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from molecular_dynamics_tpu import units
+from molecular_dynamics_tpu.ff.params import FFParams
+from molecular_dynamics_tpu.ops.nonbonded import LANE, _build_pair_tables
+
+
+def _ring_kernel(
+    x_ref, y_ref, z_ref,  # (BR, L)
+    qq_ref, a_ref, b_ref, m_ref, kb_ref, d0_ref, a14_ref, b14_ref, qq14_ref,
+    # each (NSHIFT, L): row k-1 = dense_table[i, (i+k) % L]
+    fx_ref, fy_ref, fz_ref, e_ref,  # (BR, L)
+    *, n_shifts: int, cutoff2: float, krf: float, crf: float,
+    switch_dist: float, inv_switch_span: float,
+):
+    x = x_ref[:]
+    y = y_ref[:]
+    z = z_ref[:]
+    # partner coordinates at the largest shift; walk back one lane per iter.
+    # xs[i] = x[(i+k) % L] == roll(x, L-k); pltpu.roll requires shift >= 0.
+    lanes = x.shape[1]
+    # shifts must be i32 scalars (Mosaic rejects i64 under jax_enable_x64)
+    start = jnp.int32(lanes - n_shifts)
+    one = jnp.int32(1)
+    xs = pltpu.roll(x, start, 1)
+    ys = pltpu.roll(y, start, 1)
+    zs = pltpu.roll(z, start, 1)
+
+    fx = jnp.zeros_like(x)
+    fy = jnp.zeros_like(y)
+    fz = jnp.zeros_like(z)
+    ax = jnp.zeros_like(x)  # rolled partner-force accumulators
+    ay = jnp.zeros_like(y)
+    az = jnp.zeros_like(z)
+    e = jnp.zeros_like(x)
+
+    for k in range(n_shifts, 0, -1):  # static unroll, descending
+        row = k - 1
+        qq = qq_ref[row, :][None]
+        aa = a_ref[row, :][None]
+        bb = b_ref[row, :][None]
+        msym = m_ref[row, :][None]
+        kb = kb_ref[row, :][None]
+        d0 = d0_ref[row, :][None]
+        a14 = a14_ref[row, :][None]
+        b14 = b14_ref[row, :][None]
+        qq14 = qq14_ref[row, :][None]
+
+        dx = x - xs
+        dy = y - ys
+        dz = z - zs
+        d2 = dx * dx + dy * dy + dz * dz
+
+        mb = kb > 0.0
+        m = jnp.where(d2 <= cutoff2, msym, 0.0)
+        live = (m > 0.0) | mb | (qq14 != 0.0) | (a14 != 0.0)
+        safe = jnp.where(live, d2, 1.0)
+        rinv = jax.lax.rsqrt(safe)
+        rinv2 = rinv * rinv
+        d = d2 * rinv
+
+        pot_e = qq * (rinv + krf * d2 - crf)
+        coeff_e = qq * (2.0 * krf - rinv2 * rinv)
+
+        rinv6 = rinv2 * rinv2 * rinv2
+        a12 = aa * rinv6 * rinv6
+        b6 = bb * rinv6
+        pot_l = a12 - b6
+        dudr = (6.0 * b6 - 12.0 * a12) * rinv
+        t = (d - switch_dist) * inv_switch_span
+        sw = 1.0 + t * t * t * (-10.0 + t * (15.0 - t * 6.0))
+        dsw = t * t * (-30.0 + t * (60.0 - t * 30.0)) * inv_switch_span
+        on = d > switch_dist
+        coeff_l = jnp.where(on, (dudr * sw + pot_l * dsw) * rinv, dudr * rinv)
+        pot_l = jnp.where(on, pot_l * sw, pot_l)
+
+        pot = m * (pot_e + pot_l)
+        coeff = m * (coeff_e + coeff_l)
+
+        delta = d - d0
+        pot = pot + jnp.where(mb, kb * delta * delta, 0.0)
+        coeff = coeff + jnp.where(mb, 2.0 * kb * delta * rinv, 0.0)
+
+        a14_12 = a14 * rinv6 * rinv6
+        b14_6 = b14 * rinv6
+        pot = pot + a14_12 - b14_6 + qq14 * rinv
+        coeff = coeff + (6.0 * b14_6 - 12.0 * a14_12) * rinv2 - qq14 * rinv2 * rinv
+
+        cx = coeff * dx
+        cy = coeff * dy
+        cz = coeff * dz
+        # F_i -= c ; F_{(i+k)%L} += c (via rolled accumulator)
+        fx = fx - cx
+        fy = fy - cy
+        fz = fz - cz
+        ax = pltpu.roll(ax, one, 1) + cx
+        ay = pltpu.roll(ay, one, 1) + cy
+        az = pltpu.roll(az, one, 1) + cz
+        e = e + pot
+
+        if k > 1:  # step partner window back by one lane
+            xs = pltpu.roll(xs, one, 1)
+            ys = pltpu.roll(ys, one, 1)
+            zs = pltpu.roll(zs, one, 1)
+
+    fx_ref[:] = fx + pltpu.roll(ax, one, 1)
+    fy_ref[:] = fy + pltpu.roll(ay, one, 1)
+    fz_ref[:] = fz + pltpu.roll(az, one, 1)
+    e_ref[:] = e
+
+
+def make_pair_ring_op(
+    ff: FFParams,
+    cutoff: float = 9.0,
+    switch_dist: float = 7.5,
+    rfa: bool = True,
+    solvent_dielectric: float = units.SOLVENT_DIELECTRIC,
+    include_bonds: bool = True,
+    include_14: bool = True,
+    include_ub: bool = False,
+    block_r: int = 64,
+    interpret: bool = False,
+):
+    """Ring-shift variant of ``make_nonbonded_op`` (same contract)."""
+    n = ff.n_atoms
+    n_pad = ((n + LANE - 1) // LANE) * LANE
+    n_shifts = n_pad // 2
+    if rfa:
+        denom = 2.0 * solvent_dielectric + 1.0
+        krf = (solvent_dielectric - 1.0) / (denom * cutoff**3)
+        crf = 3.0 * solvent_dielectric / (denom * cutoff)
+    else:
+        krf, crf = 0.0, 0.0
+
+    dense = [np.asarray(t) for t in _build_pair_tables(ff, include_ub, n_pad)]
+    if not include_bonds:
+        dense[4] = np.zeros_like(dense[4])
+        dense[5] = np.zeros_like(dense[5])
+    if not include_14:
+        dense[6] = np.zeros_like(dense[6])
+        dense[7] = np.zeros_like(dense[7])
+        dense[8] = np.zeros_like(dense[8])
+
+    # gather dense tables into per-shift rows: row k-1, lane i = T[i, (i+k)%L]
+    i_idx = np.arange(n_pad)
+    ring_tables = []
+    for t_i, t in enumerate(dense):
+        rows = np.zeros((n_shifts, n_pad), np.float32)
+        for k in range(1, n_shifts + 1):
+            rows[k - 1] = t[i_idx, (i_idx + k) % n_pad]
+        # the half-way shift covers each pair twice: halve every scaling row
+        if t_i in (0, 1, 2, 3, 4, 6, 7, 8):  # qq, A, B, mask, kb, a14, b14, qq14
+            rows[n_shifts - 1] *= 0.5
+        ring_tables.append(jnp.asarray(rows))
+    ring_tables = tuple(ring_tables)
+
+    kern = functools.partial(
+        _ring_kernel,
+        n_shifts=n_shifts,
+        cutoff2=float(cutoff) ** 2 if cutoff is not None else 1e30,
+        krf=float(krf),
+        crf=float(crf),
+        switch_dist=float(switch_dist if switch_dist is not None else 1e15),
+        inv_switch_span=float(
+            1.0 / (cutoff - switch_dist)
+            if (switch_dist is not None and cutoff is not None)
+            else 0.0
+        ),
+    )
+
+    def _run(pos):
+        r0 = pos.shape[0]
+        r = ((r0 + block_r - 1) // block_r) * block_r
+        if r != r0:
+            pos = jnp.concatenate(
+                [pos, jnp.broadcast_to(pos[:1], (r - r0,) + pos.shape[1:])]
+            )
+        coords = jnp.zeros((3, r, n_pad), jnp.float32)
+        coords = coords.at[:, :, :n].set(
+            jnp.moveaxis(pos.astype(jnp.float32), -1, 0)
+        )
+        row_spec = pl.BlockSpec(
+            (block_r, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        tab_spec = pl.BlockSpec(
+            (n_shifts, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((r, n_pad), jnp.float32)
+        fx, fy, fz, e = pl.pallas_call(
+            kern,
+            grid=(r // block_r,),
+            in_specs=[row_spec] * 3 + [tab_spec] * 9,
+            out_specs=[row_spec] * 4,
+            out_shape=[out_shape] * 4,
+            interpret=interpret,
+        )(coords[0], coords[1], coords[2], *ring_tables)
+        forces = jnp.stack(
+            [fx[:r0, :n], fy[:r0, :n], fz[:r0, :n]], axis=-1
+        )
+        return jnp.sum(e[:r0, :n_pad], axis=1), forces.astype(pos.dtype)
+
+    # reuse the dense op's XLA reference for custom_vjp + parity
+    from molecular_dynamics_tpu.ops.nonbonded import make_nonbonded_op
+
+    dense_op = make_nonbonded_op(
+        ff, cutoff=cutoff, switch_dist=switch_dist, rfa=rfa,
+        solvent_dielectric=solvent_dielectric, include_bonds=include_bonds,
+        include_14=include_14, include_ub=include_ub,
+    )
+
+    @jax.custom_vjp
+    def pair_terms(pos):
+        return _run(pos)
+
+    def fwd(pos):
+        return _run(pos), pos
+
+    def bwd(pos, cot):
+        g_e, g_f = cot
+        _, vjp_e = jax.vjp(dense_op.reference_energy, pos)
+        (g1,) = vjp_e(g_e)
+        _, vjp_f = jax.vjp(dense_op.reference_forces, pos)
+        (g2,) = vjp_f(g_f)
+        return (g1 + g2,)
+
+    pair_terms.defvjp(fwd, bwd)
+    pair_terms.reference_energy = dense_op.reference_energy
+    pair_terms.reference_forces = dense_op.reference_forces
+    return pair_terms

@@ -55,8 +55,12 @@ class SimulationConfig:
     #: VMEM-resident kernel with analytic forces. Requires lj+electrostatics
     #: in the energy terms and no PBC.
     fused_nonbonded: bool = False
+    #: pair-kernel flavour: "ring" computes each pair once via cyclic-shift
+    #: pairing (fastest); "dense" evaluates the full symmetric matrix
+    #: (tightest f32 energy parity)
+    kernel_variant: str = "ring"
     #: replicas per Pallas grid program (VMEM use scales with it)
-    kernel_block_r: int = 8
+    kernel_block_r: int = 0  # 0 -> variant default (ring: 64, dense: 8)
 
 
 def make_step_fn(
@@ -121,8 +125,17 @@ def make_ensemble_step_fn(
         # HBM tensors, no autodiff in the inner loop.
         from molecular_dynamics_tpu.ops import make_nonbonded_op
         from molecular_dynamics_tpu.ops.bonded import make_angle_torsion_op
+        from molecular_dynamics_tpu.ops.ring import make_pair_ring_op
 
-        pair_op = make_nonbonded_op(
+        make_pair = (
+            make_pair_ring_op
+            if config.kernel_variant == "ring"
+            else make_nonbonded_op
+        )
+        block_r = config.kernel_block_r or (
+            64 if config.kernel_variant == "ring" else 8
+        )
+        pair_op = make_pair(
             ff,
             cutoff=config.energy.cutoff,
             switch_dist=config.energy.switch_dist,
@@ -131,9 +144,11 @@ def make_ensemble_step_fn(
             include_bonds=True,
             include_14=True,
             include_ub=config.energy.urey_bradley,
-            block_r=config.kernel_block_r,
+            block_r=block_r,
         )
-        at_op = make_angle_torsion_op(ff)
+        at_op = make_angle_torsion_op(
+            ff, precision=jax.lax.Precision.HIGH
+        )
         if bias is not None:
             bias_grad = jax.vmap(jax.grad(bias.energy))
 

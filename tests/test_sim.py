@@ -86,25 +86,29 @@ class TestFusedStepParity:
         step_x = jax.jit(make_ensemble_step_fn(ff, cfg_x))
 
         import molecular_dynamics_tpu.ops.nonbonded as nb
+        import molecular_dynamics_tpu.ops.ring as ring_mod
+        import molecular_dynamics_tpu.ops as ops_pkg
 
         orig = nb.make_nonbonded_op
+        orig_ring = ring_mod.make_pair_ring_op
         try:
             nb_interpret = lambda *a, **k: orig(
                 *a, **{**k, "interpret": True}
             )
+            ring_interpret = lambda *a, **k: orig_ring(
+                *a, **{**k, "interpret": True}
+            )
             nb.make_nonbonded_op = nb_interpret
-            import molecular_dynamics_tpu.ops as ops_pkg
-
             ops_pkg.make_nonbonded_op = nb_interpret
+            ring_mod.make_pair_ring_op = ring_interpret
             cfg_f = SimulationConfig(dt_fs=1.0, fused_nonbonded=True)
             step_f = jax.jit(make_ensemble_step_fn(ff, cfg_f))
             out_x = step_x(ens)
             out_f = step_f(ens)
         finally:
             nb.make_nonbonded_op = orig
-            import molecular_dynamics_tpu.ops as ops_pkg
-
             ops_pkg.make_nonbonded_op = orig
+            ring_mod.make_pair_ring_op = orig_ring
 
         np.testing.assert_allclose(
             np.asarray(out_f.pos), np.asarray(out_x.pos), atol=5e-5
@@ -143,3 +147,22 @@ class TestNonbondedKernelParity:
         g1 = jax.jit(jax.grad(lambda p: jnp.sum(op(p)[0])))(pos)
         g2 = jax.jit(jax.grad(lambda p: jnp.sum(op.reference_energy(p))))(pos)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+    def test_ring_kernel_matches_dense(self, rng):
+        """Ring-shift pairing == dense symmetric matrix (each pair once)."""
+        from molecular_dynamics_tpu.examples import decaalanine_full
+        from molecular_dynamics_tpu.ops import make_nonbonded_op
+        from molecular_dynamics_tpu.ops.ring import make_pair_ring_op
+
+        ff, coords, _ = decaalanine_full()
+        dense = make_nonbonded_op(ff, interpret=True)
+        ring = make_pair_ring_op(ff, interpret=True, block_r=8)
+        pos = jnp.asarray(
+            np.stack([coords + rng.normal(0, 0.05, coords.shape) for _ in range(8)]),
+            jnp.float32,
+        )
+        e_d, f_d = jax.jit(dense)(pos)
+        e_r, f_r = jax.jit(ring)(pos)
+        # f32 summation-order differences only
+        np.testing.assert_allclose(np.asarray(e_r), np.asarray(e_d), atol=0.1)
+        np.testing.assert_allclose(np.asarray(f_r), np.asarray(f_d), atol=0.05)
