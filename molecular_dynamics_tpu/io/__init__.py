@@ -12,6 +12,7 @@ from molecular_dynamics_tpu.io.xyz import write_xyz, read_xyz
 from molecular_dynamics_tpu.io.prmtop import read_prmtop, prmtop_to_ff_params
 from molecular_dynamics_tpu.io.dcd import read_dcd, write_dcd
 from molecular_dynamics_tpu.io.charmm_prm import CharmmPrm
+from molecular_dynamics_tpu.io.xsc import read_xsc
 
 __all__ = [
     "read_psf",
@@ -24,4 +25,5 @@ __all__ = [
     "read_dcd",
     "write_dcd",
     "CharmmPrm",
+    "read_xsc",
 ]
