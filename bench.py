@@ -72,8 +72,17 @@ def main():
         fused_nonbonded=os.environ.get("MDX_BENCH_FUSED", "1") == "1",
         kernel_variant=os.environ.get("MDX_BENCH_KERNEL", "ring"),
         kernel_block_r=int(os.environ.get("MDX_BENCH_BLOCK_R", 0)),
+        fused_campaign=os.environ.get("MDX_BENCH_CAMPAIGN", "1") == "1",
     )
-    step_fn = make_ensemble_step_fn(ff, cfg, bias)
+    if cfg.fused_campaign:
+        from molecular_dynamics_tpu.ops.fused_step import make_fused_campaign_op
+
+        campaign = make_fused_campaign_op(
+            ff, n_inner=50, dt_fs=cfg.dt_fs, temperature=cfg.temperature,
+            gamma_ps=cfg.gamma_ps, bias=bias,
+        )
+    else:
+        step_fn = make_ensemble_step_fn(ff, cfg, bias)
 
     state = system_init(pos, vel=vel, key=key)
     state = initialize_forces(
@@ -85,9 +94,25 @@ def main():
     )
     ensemble = replicate(state, N_REPLICAS, seed=1)
 
-    @jax.jit
-    def advance(states, n):
-        return jax.lax.fori_loop(0, n, lambda _, s: step_fn(s), states)
+    if cfg.fused_campaign:
+
+        @jax.jit
+        def advance(states, n):
+            def seg(i, s):
+                pos, vel, frc = campaign(
+                    s.pos, s.vel, s.forces, s.step[0],
+                    jnp.int32(1234) + i + s.step[0],
+                )
+                return s.replace(
+                    pos=pos, vel=vel, forces=frc, step=s.step + 50
+                )
+
+            return jax.lax.fori_loop(0, n // 50, seg, states)
+    else:
+
+        @jax.jit
+        def advance(states, n):
+            return jax.lax.fori_loop(0, n, lambda _, s: step_fn(s), states)
 
     # warmup/compile
     ensemble = advance(ensemble, 10)

@@ -1,0 +1,547 @@
+"""Fully-fused Langevin campaign kernel: N integrator steps per launch.
+
+The speed-of-light design for the reference's inner MD loop (NAMD's C++
+core, SURVEY.md §2.12): positions, velocities and forces stay resident in
+VMEM across ``n_inner`` BAOAB steps — HBM sees the state only once per
+launch. Everything the step needs happens inside one Pallas program:
+
+- pair terms via the shared ring-shift loop (``ops.ring.ring_pair_forces``),
+- angles/torsions with **analytic** force distribution (the OpenMM-style
+  formulas the reference uses, TorchMD_Fix/forces.py:519-535,581-600),
+  gather/scatter as in-kernel MXU matmuls against static difference
+  matrices,
+- the moving harmonic SMD bias force (group-weight row reductions),
+- BAOAB kicks/drifts and the O-step Gaussian noise from the on-core PRNG
+  (``pltpu.prng_random_bits`` + Box-Muller).
+
+Simulation-only fast path: not differentiable (training uses the composed
+fused/XLA paths, which are). Physics parity with those paths is pinned by
+tests (single-step force match, NVE drift, thermostat temperature).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from molecular_dynamics_tpu import units
+from molecular_dynamics_tpu.ff.params import FFParams
+from molecular_dynamics_tpu.ops.nonbonded import LANE, _build_pair_tables
+from molecular_dynamics_tpu.ops.ring import ring_pair_forces
+
+_EPS = 1e-12
+
+_PI = 3.14159265358979
+_HALF_PI = 1.5707963267949
+
+
+def _atan2(y, x):
+    """Four-quadrant arctangent for the kernel (no Mosaic atan2 lowering).
+
+    Minimax odd polynomial for atan on [0, 1] (max err ~2e-7, plenty for
+    f32) + standard quadrant/octant reduction.
+    """
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    mx = jnp.maximum(ax, ay)
+    mn = jnp.minimum(ax, ay)
+    t = mn / jnp.maximum(mx, 1e-30)
+    t2 = t * t
+    p = t * (
+        0.99997726
+        + t2
+        * (
+            -0.33262347
+            + t2
+            * (
+                0.19354346
+                + t2
+                * (-0.11643287 + t2 * (0.05265332 + t2 * -0.01172120))
+            )
+        )
+    )
+    r = jnp.where(ay > ax, _HALF_PI - p, p)
+    r = jnp.where(x < 0.0, _PI - r, r)
+    return jnp.where(y < 0.0, -r, r)
+
+
+def _angle_tables(ff: FFParams, n_pad: int):
+    """Difference matrices + params for angles, padded to 128-row tiles."""
+    from molecular_dynamics_tpu.ops.bonded import _diff_matrix_t, _pad_rows
+
+    angles = np.asarray(ff.angles)
+    rows = _pad_rows(len(angles)) if len(angles) else 0
+    if not rows:
+        return None
+    pad = rows - len(angles)
+    idx = np.concatenate([angles, np.tile([[0, 1, 2]], (pad, 1))])
+    k0 = np.concatenate([np.asarray(ff.angle_params)[:, 0], np.zeros(pad)])
+    t0 = np.concatenate([np.asarray(ff.angle_params)[:, 1], np.zeros(pad)])
+    d21 = _diff_matrix_t(n_pad, idx[:, 0], idx[:, 1], rows)  # (L, A)
+    d23 = _diff_matrix_t(n_pad, idx[:, 2], idx[:, 1], rows)
+    return (
+        jnp.asarray(d21), jnp.asarray(d23),
+        jnp.asarray(d21.T.copy()), jnp.asarray(d23.T.copy()),
+        jnp.asarray(k0[None, :], jnp.float32),
+        jnp.asarray(t0[None, :], jnp.float32),
+    )
+
+
+def _torsion_tables(ff: FFParams, n_pad: int):
+    """Difference matrices + padded multi-term params for dihedrals+impropers."""
+    from molecular_dynamics_tpu.ops.bonded import _diff_matrix_t, _pad_rows
+
+    blocks = []
+    max_t = 1
+    for idx_arr, par, msk in (
+        (ff.dihedrals, ff.dihedral_params, ff.dihedral_term_mask),
+        (ff.impropers, ff.improper_params, ff.improper_term_mask),
+    ):
+        idx_arr = np.asarray(idx_arr)
+        if len(idx_arr):
+            blocks.append((idx_arr, np.asarray(par), np.asarray(msk)))
+            max_t = max(max_t, np.asarray(par).shape[1])
+    if not blocks:
+        return None
+
+    def widen(par, msk):
+        t = par.shape[1]
+        if t == max_t:
+            return par, msk
+        extra = max_t - t
+        pad_par = np.zeros((par.shape[0], extra, 3), par.dtype)
+        pad_par[:, :, 2] = 1.0
+        return (
+            np.concatenate([par, pad_par], axis=1),
+            np.concatenate([msk, np.zeros((msk.shape[0], extra), bool)], 1),
+        )
+
+    idx_all = np.concatenate([b[0] for b in blocks])
+    widened = [widen(b[1], b[2]) for b in blocks]
+    par_all = np.concatenate([w[0] for w in widened])
+    msk_all = np.concatenate([w[1] for w in widened])
+    rows = _pad_rows(len(idx_all))
+    pad = rows - len(idx_all)
+    idx_all = np.concatenate([idx_all, np.tile([[0, 1, 2, 3]], (pad, 1))])
+    pad_par = np.zeros((pad, max_t, 3), par_all.dtype)
+    pad_par[:, :, 2] = 1.0
+    par_all = np.concatenate([par_all, pad_par])
+    msk_all = np.concatenate([msk_all, np.zeros((pad, max_t), bool)])
+
+    d12 = _diff_matrix_t(n_pad, idx_all[:, 0], idx_all[:, 1], rows)
+    d23 = _diff_matrix_t(n_pad, idx_all[:, 1], idx_all[:, 2], rows)
+    d34 = _diff_matrix_t(n_pad, idx_all[:, 2], idx_all[:, 3], rows)
+    k = np.where(msk_all, par_all[:, :, 0], 0.0).T.astype(np.float32)
+    phi0 = par_all[:, :, 1].T.astype(np.float32)  # (MAXT, T)
+    per = par_all[:, :, 2].T.astype(np.float32)
+    return (
+        jnp.asarray(d12), jnp.asarray(d23), jnp.asarray(d34),
+        jnp.asarray(d12.T.copy()), jnp.asarray(d23.T.copy()),
+        jnp.asarray(d34.T.copy()),
+        jnp.asarray(k), jnp.asarray(phi0), jnp.asarray(per), max_t,
+    )
+
+
+def _mm(a, b):
+    """In-kernel full-precision MXU matmul (Mosaic supports DEFAULT/HIGHEST)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def make_fused_campaign_op(
+    ff: FFParams,
+    n_inner: int = 50,
+    dt_fs: float = 2.0,
+    temperature: float = 300.0,
+    gamma_ps: float = 1.0,
+    cutoff: float = 9.0,
+    switch_dist: float = 7.5,
+    rfa: bool = True,
+    solvent_dielectric: float = units.SOLVENT_DIELECTRIC,
+    include_ub: bool = False,
+    bias=None,
+    block_r: int = 64,
+    interpret: bool = False,
+):
+    """Build ``advance(pos, vel, forces, t0, seed) -> (pos, vel, forces)``.
+
+    Advances every replica ``n_inner`` BAOAB Langevin steps in one Pallas
+    launch. ``bias`` (a HarmonicSMDBias or None) contributes its analytic
+    force with the moving-center schedule evaluated at ``t0 + i``.
+    Arrays are (R, N, 3); t0 int32 scalar; seed int32 scalar.
+    """
+    n = ff.n_atoms
+    n_pad = ((n + LANE - 1) // LANE) * LANE
+    n_shifts = n_pad // 2
+    if rfa:
+        denom = 2.0 * solvent_dielectric + 1.0
+        krf = (solvent_dielectric - 1.0) / (denom * cutoff**3)
+        crf = 3.0 * solvent_dielectric / (denom * cutoff)
+    else:
+        krf, crf = 0.0, 0.0
+
+    # --- ring pair tables ---
+    dense = [np.asarray(t) for t in _build_pair_tables(ff, include_ub, n_pad)]
+    i_idx = np.arange(n_pad)
+    ring_tables = []
+    for t_i, t in enumerate(dense):
+        rows = np.zeros((n_shifts, n_pad), np.float32)
+        for k in range(1, n_shifts + 1):
+            rows[k - 1] = t[i_idx, (i_idx + k) % n_pad]
+        if t_i in (0, 1, 2, 3, 4, 6, 7, 8):
+            rows[n_shifts - 1] *= 0.5
+        ring_tables.append(jnp.asarray(rows))
+    ring_tables = tuple(ring_tables)
+
+    ang = _angle_tables(ff, n_pad)
+    tor = _torsion_tables(ff, n_pad)
+    max_t = tor[9] if tor else 0
+
+    # --- lane vectors: masses, atom mask, BAOAB constants, bias weights ---
+    dt = dt_fs / units.TIMEFACTOR
+    gamma = gamma_ps * (units.TIMEFACTOR / 1000.0)
+    c1 = float(np.exp(-gamma * dt))
+    masses = np.ones(n_pad, np.float32)
+    masses[:n] = np.asarray(ff.masses, np.float32)
+    amask = np.zeros((1, n_pad), np.float32)
+    amask[0, :n] = 1.0
+    minv = (amask / masses[None, :]).astype(np.float32)  # ghosts: 0
+    c2 = (
+        np.sqrt(units.BOLTZMANN * temperature / masses * (1.0 - c1 * c1))[
+            None, :
+        ]
+        * amask
+    ).astype(np.float32)
+
+    if bias is not None:
+        w1 = np.zeros((1, n_pad), np.float32)
+        w2 = np.zeros((1, n_pad), np.float32)
+        w1[0, :n] = np.asarray(bias.group1_w, np.float32)
+        w2[0, :n] = np.asarray(bias.group2_w, np.float32)
+        bias_fk = float(bias.fk)
+        bias_c0 = float(bias.cent_0)
+        bias_slope = float((bias.cent_1 - bias.cent_0) / bias.T)
+    else:
+        w1 = np.zeros((1, n_pad), np.float32)
+        w2 = np.zeros((1, n_pad), np.float32)
+        bias_fk = 0.0
+        bias_c0 = 0.0
+        bias_slope = 0.0
+
+    lane_tables = (
+        jnp.asarray(minv), jnp.asarray(c2), jnp.asarray(amask),
+        jnp.asarray(w1), jnp.asarray(w2),
+    )
+
+    ring_kw = dict(
+        n_shifts=n_shifts,
+        cutoff2=float(cutoff) ** 2,
+        krf=float(krf),
+        crf=float(crf),
+        switch_dist=float(switch_dist if switch_dist is not None else 1e15),
+        inv_switch_span=float(
+            1.0 / (cutoff - switch_dist) if switch_dist is not None else 0.0
+        ),
+    )
+
+    def kernel(
+        t0_ref, seed_ref,  # SMEM (1,1) int32
+        x_ref, y_ref, z_ref, vx_ref, vy_ref, vz_ref,
+        fx_ref, fy_ref, fz_ref,
+        qq_ref, a_ref, b_ref, m_ref, kb_ref, d0_ref, a14_ref, b14_ref,
+        qq14_ref,
+        # angle tables
+        ad21_ref, ad23_ref, ad21t_ref, ad23t_ref, ak_ref, at0_ref,
+        # torsion tables
+        td12_ref, td23_ref, td34_ref, td12t_ref, td23t_ref, td34t_ref,
+        tk_ref, tphi0_ref, tper_ref,
+        minv_ref, c2_ref, amask_ref, w1_ref, w2_ref,
+        ox_ref, oy_ref, oz_ref, ovx_ref, ovy_ref, ovz_ref,
+        ofx_ref, ofy_ref, ofz_ref,
+    ):
+        if temperature > 0.0:
+            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+        pair_tabs = tuple(
+            r[:] for r in (qq_ref, a_ref, b_ref, m_ref, kb_ref, d0_ref,
+                           a14_ref, b14_ref, qq14_ref)
+        )
+        ad21 = ad21_ref[:]
+        ad23 = ad23_ref[:]
+        ad21t = ad21t_ref[:]
+        ad23t = ad23t_ref[:]
+        ak = ak_ref[:]
+        at0 = at0_ref[:]
+        td12 = td12_ref[:]
+        td23 = td23_ref[:]
+        td34 = td34_ref[:]
+        td12t = td12t_ref[:]
+        td23t = td23t_ref[:]
+        td34t = td34t_ref[:]
+        tk = tk_ref[:]
+        tphi0 = tphi0_ref[:]
+        tper = tper_ref[:]
+        minv = minv_ref[:]
+        c2v = c2_ref[:]
+        amask = amask_ref[:]
+        w1v = w1_ref[:]
+        w2v = w2_ref[:]
+        wdiff = w2v - w1v
+        t0 = t0_ref[0, 0].astype(jnp.float32)
+
+        def forces(x, y, z, t_step):
+            fx, fy, fz, _ = ring_pair_forces(x, y, z, pair_tabs, **ring_kw)
+
+            # --- angles: analytic 3-centre forces (forces.py:519-535) ---
+            r21x = _mm(x, ad21)
+            r21y = _mm(y, ad21)
+            r21z = _mm(z, ad21)
+            r23x = _mm(x, ad23)
+            r23y = _mm(y, ad23)
+            r23z = _mm(z, ad23)
+            cxp = r21y * r23z - r21z * r23y
+            cyp = r21z * r23x - r21x * r23z
+            czp = r21x * r23y - r21y * r23x
+            nrm = jnp.sqrt(
+                jnp.maximum(cxp * cxp + cyp * cyp + czp * czp, _EPS)
+            )
+            dot = r21x * r23x + r21y * r23y + r21z * r23z
+            theta = _atan2(nrm, dot)
+            n21i = jax.lax.rsqrt(
+                jnp.maximum(r21x**2 + r21y**2 + r21z**2, _EPS)
+            )
+            n23i = jax.lax.rsqrt(
+                jnp.maximum(r23x**2 + r23y**2 + r23z**2, _EPS)
+            )
+            cos_t = dot * n21i * n23i
+            sin_t = jnp.maximum(nrm * n21i * n23i, 1e-6)
+            coef = -2.0 * ak * (theta - at0) / sin_t
+            f0x = coef * (cos_t * r21x * n21i - r23x * n23i) * n21i
+            f0y = coef * (cos_t * r21y * n21i - r23y * n23i) * n21i
+            f0z = coef * (cos_t * r21z * n21i - r23z * n23i) * n21i
+            f2x = coef * (cos_t * r23x * n23i - r21x * n21i) * n23i
+            f2y = coef * (cos_t * r23y * n23i - r21y * n21i) * n23i
+            f2z = coef * (cos_t * r23z * n23i - r21z * n21i) * n23i
+            fx = fx + _mm(f0x, ad21t) + _mm(f2x, ad23t)
+            fy = fy + _mm(f0y, ad21t) + _mm(f2y, ad23t)
+            fz = fz + _mm(f0z, ad21t) + _mm(f2z, ad23t)
+
+            # --- torsions: analytic 4-centre forces (forces.py:581-600) ---
+            b1x = _mm(x, td12)
+            b1y = _mm(y, td12)
+            b1z = _mm(z, td12)
+            b2x = _mm(x, td23)
+            b2y = _mm(y, td23)
+            b2z = _mm(z, td23)
+            b3x = _mm(x, td34)
+            b3y = _mm(y, td34)
+            b3z = _mm(z, td34)
+            cax = b1y * b2z - b1z * b2y
+            cay = b1z * b2x - b1x * b2z
+            caz = b1x * b2y - b1y * b2x
+            cbx = b2y * b3z - b2z * b3y
+            cby = b2z * b3x - b2x * b3z
+            cbz = b2x * b3y - b2y * b3x
+            mxv = cay * cbz - caz * cby
+            myv = caz * cbx - cax * cbz
+            mzv = cax * cby - cay * cbx
+            b2n = jnp.sqrt(
+                jnp.maximum(b2x * b2x + b2y * b2y + b2z * b2z, _EPS)
+            )
+            sin_num = (b2x * mxv + b2y * myv + b2z * mzv) / b2n
+            cos_num = cax * cbx + cay * cby + caz * cbz
+            phi = -_atan2(sin_num, cos_num)
+            coeff = jnp.zeros_like(phi)
+            for t_i in range(max_t):
+                k_row = tk[t_i, :][None]
+                phi0_row = tphi0[t_i, :][None]
+                per_row = tper[t_i, :][None]
+                adiff = per_row * phi - phi0_row
+                amber = -per_row * k_row * jnp.sin(adiff)
+                deltap = phi - phi0_row
+                deltap = deltap - 2.0 * jnp.pi * jnp.round(
+                    deltap / (2.0 * jnp.pi)
+                )
+                charmm = 2.0 * k_row * deltap
+                coeff = coeff + jnp.where(per_row > 0, amber, charmm)
+            na2 = jnp.maximum(cax**2 + cay**2 + caz**2, _EPS)
+            nb2 = jnp.maximum(cbx**2 + cby**2 + cbz**2, _EPS)
+            n2d2 = jnp.maximum(b2n * b2n, _EPS)
+            ff0 = (-coeff * b2n) / na2
+            ff1 = (b1x * b2x + b1y * b2y + b1z * b2z) / n2d2
+            ff2 = (b3x * b2x + b3y * b2y + b3z * b2z) / n2d2
+            ff3 = (coeff * b2n) / nb2
+            f0vx = ff0 * cax
+            f0vy = ff0 * cay
+            f0vz = ff0 * caz
+            f3vx = ff3 * cbx
+            f3vy = ff3 * cby
+            f3vz = ff3 * cbz
+            sx = ff1 * f0vx - ff2 * f3vx
+            sy = ff1 * f0vy - ff2 * f3vy
+            sz = ff1 * f0vz - ff2 * f3vz
+            # scatter with alpha = -f0vec, beta = s, gamma = f3vec
+            fx = fx + _mm(-f0vx, td12t) + _mm(sx, td23t) + _mm(f3vx, td34t)
+            fy = fy + _mm(-f0vy, td12t) + _mm(sy, td23t) + _mm(f3vy, td34t)
+            fz = fz + _mm(-f0vz, td12t) + _mm(sz, td23t) + _mm(f3vz, td34t)
+
+            # --- moving harmonic SMD bias (potcalc.py:75-89) ---
+            comx = jnp.sum(wdiff * x, axis=1, keepdims=True)  # com2-com1
+            comy = jnp.sum(wdiff * y, axis=1, keepdims=True)
+            comz = jnp.sum(wdiff * z, axis=1, keepdims=True)
+            dist = jnp.sqrt(
+                jnp.maximum(comx**2 + comy**2 + comz**2, _EPS)
+            )
+            center = bias_c0 + bias_slope * t_step
+            coefb = bias_fk * (dist - center) / dist
+            fx = fx - coefb * comx * wdiff
+            fy = fy - coefb * comy * wdiff
+            fz = fz - coefb * comz * wdiff
+            return fx, fy, fz
+
+        def gaussians(shape):
+            b1 = pltpu.prng_random_bits(shape)
+            b2 = pltpu.prng_random_bits(shape)
+            # uint32->f32 casts are unsupported in Mosaic: shift to 24 bits
+            # then reinterpret as int32 (always non-negative) before casting
+            u1 = pltpu.bitcast(
+                pltpu.bitcast(b1, jnp.uint32) >> 8, jnp.int32
+            ).astype(jnp.float32) * (1.0 / 16777216.0) + 5.9604645e-08
+            u2 = pltpu.bitcast(
+                pltpu.bitcast(b2, jnp.uint32) >> 8, jnp.int32
+            ).astype(jnp.float32) * (1.0 / 16777216.0)
+            r = jnp.sqrt(-2.0 * jnp.log(u1))
+            return r * jnp.cos(2.0 * jnp.pi * u2), r * jnp.sin(
+                2.0 * jnp.pi * u2
+            )
+
+        def body(i, carry):
+            x, y, z, vx, vy, vz, fx, fy, fz = carry
+            t_step = t0 + i.astype(jnp.float32)
+            half = 0.5 * dt
+            # B: half kick with stored forces
+            vx = vx + half * fx * minv
+            vy = vy + half * fy * minv
+            vz = vz + half * fz * minv
+            # A: half drift
+            x = x + half * vx
+            y = y + half * vy
+            z = z + half * vz
+            # O: exact OU solve with on-core noise (statically skipped at
+            # T=0 — also keeps CPU interpret mode usable, where the TPU PRNG
+            # primitives have no lowering)
+            if temperature > 0.0:
+                g1, g2 = gaussians(x.shape)
+                g3, _ = gaussians(x.shape)
+                vx = c1 * vx + c2v * g1
+                vy = c1 * vy + c2v * g2
+                vz = c1 * vz + c2v * g3
+            else:
+                vx = c1 * vx
+                vy = c1 * vy
+                vz = c1 * vz
+            # A: half drift
+            x = x + half * vx
+            y = y + half * vy
+            z = z + half * vz
+            # B: half kick with new forces
+            fx, fy, fz = forces(x, y, z, t_step)
+            vx = vx + half * fx * minv
+            vy = vy + half * fy * minv
+            vz = vz + half * fz * minv
+            return x, y, z, vx, vy, vz, fx, fy, fz
+
+        out = jax.lax.fori_loop(
+            0,
+            n_inner,
+            body,
+            (
+                x_ref[:], y_ref[:], z_ref[:],
+                vx_ref[:], vy_ref[:], vz_ref[:],
+                fx_ref[:], fy_ref[:], fz_ref[:],
+            ),
+        )
+        ox_ref[:], oy_ref[:], oz_ref[:] = out[0], out[1], out[2]
+        ovx_ref[:], ovy_ref[:], ovz_ref[:] = out[3], out[4], out[5]
+        ofx_ref[:], ofy_ref[:], ofz_ref[:] = out[6], out[7], out[8]
+
+    row_spec = pl.BlockSpec(
+        (block_r, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+
+    def bcast(shape):
+        return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    smem_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+    def _split(arr, r, fill=0.0):
+        out = jnp.full((3, r, n_pad), fill, jnp.float32)
+        return out.at[:, :, :n].set(
+            jnp.moveaxis(arr.astype(jnp.float32), -1, 0)
+        )
+
+    def advance(pos, vel, frc, t0, seed):
+        r0 = pos.shape[0]
+        r = ((r0 + block_r - 1) // block_r) * block_r
+        if r != r0:
+            pad = lambda a: jnp.concatenate(
+                [a, jnp.broadcast_to(a[:1], (r - r0,) + a.shape[1:])]
+            )
+            pos, vel, frc = pad(pos), pad(vel), pad(frc)
+        xs = _split(pos, r)
+        vs = _split(vel, r)
+        fs = _split(frc, r)
+        in_tabs = list(ring_tables)
+        tab_specs = [bcast((n_shifts, n_pad))] * 9
+        a_rows = ang[0].shape[1]
+        in_tabs += list(ang[:4]) + [ang[4], ang[5]]
+        tab_specs += [
+            bcast((n_pad, a_rows)), bcast((n_pad, a_rows)),
+            bcast((a_rows, n_pad)), bcast((a_rows, n_pad)),
+            bcast((1, a_rows)), bcast((1, a_rows)),
+        ]
+        t_rows = tor[0].shape[1]
+        in_tabs += list(tor[:6]) + [tor[6], tor[7], tor[8]]
+        tab_specs += [
+            bcast((n_pad, t_rows))] * 3 + [bcast((t_rows, n_pad))] * 3 + [
+            bcast((max_t, t_rows))] * 3
+        in_tabs += list(lane_tables)
+        tab_specs += [bcast((1, n_pad))] * 5
+
+        out_shape = [jax.ShapeDtypeStruct((r, n_pad), jnp.float32)] * 9
+        outs = pl.pallas_call(
+            kernel,
+            grid=(r // block_r,),
+            in_specs=[smem_spec, smem_spec] + [row_spec] * 9 + tab_specs,
+            out_specs=[row_spec] * 9,
+            out_shape=out_shape,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(
+            jnp.asarray(t0, jnp.int32).reshape(1, 1),
+            jnp.asarray(seed, jnp.int32).reshape(1, 1),
+            xs[0], xs[1], xs[2], vs[0], vs[1], vs[2], fs[0], fs[1], fs[2],
+            *in_tabs,
+        )
+
+        def join(a, b, c):
+            return jnp.stack(
+                [a[:r0, :n], b[:r0, :n], c[:r0, :n]], axis=-1
+            )
+
+        return (
+            join(outs[0], outs[1], outs[2]),
+            join(outs[3], outs[4], outs[5]),
+            join(outs[6], outs[7], outs[8]),
+        )
+
+    advance.n_inner = n_inner
+    return advance

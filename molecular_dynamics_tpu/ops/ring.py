@@ -34,21 +34,16 @@ from molecular_dynamics_tpu.ff.params import FFParams
 from molecular_dynamics_tpu.ops.nonbonded import LANE, _build_pair_tables
 
 
-def _ring_kernel(
-    x_ref, y_ref, z_ref,  # (BR, L)
-    qq_ref, a_ref, b_ref, m_ref, kb_ref, d0_ref, a14_ref, b14_ref, qq14_ref,
-    # each (NSHIFT, L): row k-1 = dense_table[i, (i+k) % L]
-    fx_ref, fy_ref, fz_ref, e_ref,  # (BR, L)
+def ring_pair_forces(
+    x, y, z,  # (BR, L) coordinate values
+    tables,  # 9 arrays, each (NSHIFT, L)
     *, n_shifts: int, cutoff2: float, krf: float, crf: float,
     switch_dist: float, inv_switch_span: float,
 ):
-    x = x_ref[:]
-    y = y_ref[:]
-    z = z_ref[:]
-    # partner coordinates at the largest shift; walk back one lane per iter.
-    # xs[i] = x[(i+k) % L] == roll(x, L-k); pltpu.roll requires shift >= 0.
+    """Shared ring-shift pair loop over VALUES (used by the standalone pair
+    kernel and the fully-fused step kernel). Returns (fx, fy, fz, e_slots)."""
+    qq_t, a_t, b_t, m_t, kb_t, d0_t, a14_t, b14_t, qq14_t = tables
     lanes = x.shape[1]
-    # shifts must be i32 scalars (Mosaic rejects i64 under jax_enable_x64)
     start = jnp.int32(lanes - n_shifts)
     one = jnp.int32(1)
     xs = pltpu.roll(x, start, 1)
@@ -65,15 +60,15 @@ def _ring_kernel(
 
     for k in range(n_shifts, 0, -1):  # static unroll, descending
         row = k - 1
-        qq = qq_ref[row, :][None]
-        aa = a_ref[row, :][None]
-        bb = b_ref[row, :][None]
-        msym = m_ref[row, :][None]
-        kb = kb_ref[row, :][None]
-        d0 = d0_ref[row, :][None]
-        a14 = a14_ref[row, :][None]
-        b14 = b14_ref[row, :][None]
-        qq14 = qq14_ref[row, :][None]
+        qq = qq_t[row, :][None]
+        aa = a_t[row, :][None]
+        bb = b_t[row, :][None]
+        msym = m_t[row, :][None]
+        kb = kb_t[row, :][None]
+        d0 = d0_t[row, :][None]
+        a14 = a14_t[row, :][None]
+        b14 = b14_t[row, :][None]
+        qq14 = qq14_t[row, :][None]
 
         dx = x - xs
         dy = y - ys
@@ -132,9 +127,33 @@ def _ring_kernel(
             ys = pltpu.roll(ys, one, 1)
             zs = pltpu.roll(zs, one, 1)
 
-    fx_ref[:] = fx + pltpu.roll(ax, one, 1)
-    fy_ref[:] = fy + pltpu.roll(ay, one, 1)
-    fz_ref[:] = fz + pltpu.roll(az, one, 1)
+    fx = fx + pltpu.roll(ax, one, 1)
+    fy = fy + pltpu.roll(ay, one, 1)
+    fz = fz + pltpu.roll(az, one, 1)
+    return fx, fy, fz, e
+
+
+def _ring_kernel(
+    x_ref, y_ref, z_ref,  # (BR, L)
+    qq_ref, a_ref, b_ref, m_ref, kb_ref, d0_ref, a14_ref, b14_ref, qq14_ref,
+    # each (NSHIFT, L): row k-1 = dense_table[i, (i+k) % L]
+    fx_ref, fy_ref, fz_ref, e_ref,  # (BR, L)
+    *, n_shifts: int, cutoff2: float, krf: float, crf: float,
+    switch_dist: float, inv_switch_span: float,
+):
+    tables = tuple(
+        r[:]
+        for r in (qq_ref, a_ref, b_ref, m_ref, kb_ref, d0_ref, a14_ref,
+                  b14_ref, qq14_ref)
+    )
+    fx, fy, fz, e = ring_pair_forces(
+        x_ref[:], y_ref[:], z_ref[:], tables,
+        n_shifts=n_shifts, cutoff2=cutoff2, krf=krf, crf=crf,
+        switch_dist=switch_dist, inv_switch_span=inv_switch_span,
+    )
+    fx_ref[:] = fx
+    fy_ref[:] = fy
+    fz_ref[:] = fz
     e_ref[:] = e
 
 

@@ -61,6 +61,11 @@ class SimulationConfig:
     kernel_variant: str = "ring"
     #: replicas per Pallas grid program (VMEM use scales with it)
     kernel_block_r: int = 0  # 0 -> variant default (ring: 64, dense: 8)
+    #: run whole save_every-step segments inside ONE Pallas launch (state
+    #: resident in VMEM, in-kernel RNG + analytic bonded forces). Fastest
+    #: simulation path; not differentiable (training uses the paths above).
+    #: Langevin + no PBC only.
+    fused_campaign: bool = False
 
 
 def make_step_fn(
@@ -253,19 +258,64 @@ def simulate_ensemble(
 
     Returns (final_states, frames (n_saves, R, N, 3), log of (n_saves, R)).
     """
-    step_fn = make_ensemble_step_fn(ff, config, bias)
     n_saves = n_steps // save_every
     obs_fn = functools.partial(_observables, ff=ff, config=config, bias=bias)
 
-    @jax.jit
-    def run(states):
-        def segment(states, _):
-            states = jax.lax.fori_loop(
-                0, save_every, lambda _, s: step_fn(s), states
-            )
-            return states, (states.pos, jax.vmap(obs_fn)(states))
+    use_campaign = (
+        config.fused_campaign
+        and config.integrator == "langevin"
+        and not config.pbc
+    )
+    if use_campaign:
+        from molecular_dynamics_tpu.ops.fused_step import (
+            make_fused_campaign_op,
+        )
 
-        return jax.lax.scan(segment, states, None, length=n_saves)
+        advance = make_fused_campaign_op(
+            ff,
+            n_inner=save_every,
+            dt_fs=config.dt_fs,
+            temperature=config.temperature,
+            gamma_ps=config.gamma_ps,
+            cutoff=config.energy.cutoff,
+            switch_dist=config.energy.switch_dist,
+            rfa=config.energy.rfa,
+            solvent_dielectric=config.energy.solvent_dielectric,
+            include_ub=config.energy.urey_bradley,
+            bias=bias,
+        )
+
+        @jax.jit
+        def run(states):
+            def segment(states, _):
+                seed_key = jax.random.fold_in(states.key[0], states.step[0])
+                seed = jnp.right_shift(
+                    jax.random.bits(seed_key, dtype=jnp.uint32), 1
+                ).astype(jnp.int32)
+                pos, vel, frc = advance(
+                    states.pos, states.vel, states.forces,
+                    states.step[0], seed,
+                )
+                states = states.replace(
+                    pos=pos, vel=vel, forces=frc,
+                    step=states.step + save_every,
+                )
+                return states, (states.pos, jax.vmap(obs_fn)(states))
+
+            return jax.lax.scan(segment, states, None, length=n_saves)
+
+    else:
+        step_fn = make_ensemble_step_fn(ff, config, bias)
+
+        @jax.jit
+        def run(states):
+            def segment(states, _):
+                states = jax.lax.fori_loop(
+                    0, save_every, lambda _, s: step_fn(s), states
+                )
+                return states, (states.pos, jax.vmap(obs_fn)(states))
+
+            return jax.lax.scan(segment, states, None, length=n_saves)
 
     final, (frames, log) = run(states)
     return final, frames, log

@@ -1,0 +1,118 @@
+"""Fully-fused campaign kernel: parity with the composed step (T=0 path).
+
+The noisy (T>0) path needs the on-core TPU PRNG and is validated on real
+hardware (thermostat + bench); here the deterministic T=0 kernel runs in
+interpreter mode on any backend and is checked against the same BAOAB step
+composed from the XLA force path.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from molecular_dynamics_tpu import (
+    HarmonicSMDBias,
+    maxwell_boltzmann,
+    minimize_fire,
+    system_init,
+    total_energy,
+)
+from molecular_dynamics_tpu import units
+from molecular_dynamics_tpu.energy import REFERENCE_CONFIG
+from molecular_dynamics_tpu.ops.fused_step import make_fused_campaign_op
+
+
+@pytest.fixture(scope="module")
+def full_system():
+    from molecular_dynamics_tpu.examples import decaalanine_full
+
+    ff, coords, _ = decaalanine_full()
+    force = lambda p: -jax.grad(
+        lambda q: total_energy(q, ff, config=REFERENCE_CONFIG)
+    )(p)
+    pos = jax.jit(
+        lambda p: minimize_fire(p, force, n_steps=500, dt_start=1e-3, dt_max=1e-2)
+    )(jnp.asarray(coords, jnp.float32))
+    return ff, pos
+
+
+class TestFusedCampaign:
+    def test_single_step_matches_composed(self, full_system):
+        ff, pos = full_system
+        n = ff.n_atoms
+        d0 = float(jnp.linalg.norm(pos[-1] - pos[0]))
+        bias = HarmonicSMDBias.create(
+            n_atoms=n, group1=[0], group2=[n - 1], fk=1.0,
+            cent_0=d0, cent_1=d0 + 22.0, T=500_000.0,
+        )
+        adv = make_fused_campaign_op(
+            ff, n_inner=1, dt_fs=1.0, temperature=0.0, gamma_ps=1.0,
+            bias=bias, block_r=8, interpret=True,
+        )
+        vel = maxwell_boltzmann(jax.random.PRNGKey(0), ff.masses, 300.0)
+        R = 4
+        pos_b = jnp.broadcast_to(pos, (R, n, 3)).astype(jnp.float32)
+        vel_b = jnp.broadcast_to(vel, (R, n, 3)).astype(jnp.float32)
+        pot = lambda q: total_energy(
+            q, ff, config=REFERENCE_CONFIG
+        ) + bias.energy(q, 0)
+        f0 = jax.vmap(lambda p: -jax.grad(pot)(p))(pos_b)
+        p1, v1, f1 = jax.jit(
+            lambda a, b, c: adv(a, b, c, jnp.int32(0), jnp.int32(1))
+        )(pos_b, vel_b, f0)
+
+        # composed reference: damped BAOAB at T=0 through the XLA force path
+        dt = 1.0 / units.TIMEFACTOR
+        gamma = 1.0 * (units.TIMEFACTOR / 1000.0)
+        c1 = float(np.exp(-gamma * dt))
+        m = jnp.asarray(ff.masses, jnp.float32)[:, None]
+        vv = vel_b + 0.5 * dt * f0 / m
+        xx = pos_b + 0.5 * dt * vv
+        vv = c1 * vv
+        xx = xx + 0.5 * dt * vv
+        f_new = jax.vmap(lambda p: -jax.grad(pot)(p))(xx)
+        vv = vv + 0.5 * dt * f_new / m
+
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(xx), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(vv), atol=5e-3)
+        np.testing.assert_allclose(
+            np.asarray(f1), np.asarray(f_new), atol=0.15
+        )
+
+    def test_simulate_ensemble_campaign_path(self, full_system):
+        """simulate_ensemble with fused_campaign=True (interpret, T=0)."""
+        import dataclasses as _dc
+
+        import molecular_dynamics_tpu.ops.fused_step as fs
+        from molecular_dynamics_tpu.integrate import initialize_forces
+        from molecular_dynamics_tpu.sim import SimulationConfig, simulate_ensemble
+        from molecular_dynamics_tpu.system import replicate
+
+        ff, pos = full_system
+        n = ff.n_atoms
+        force = lambda p, b: -jax.grad(
+            lambda q: total_energy(q, ff, config=REFERENCE_CONFIG)
+        )(p)
+        state = system_init(pos, key=jax.random.PRNGKey(1))
+        state = initialize_forces(state, force)
+        ens = replicate(state, 4, seed=3)
+
+        orig = fs.make_fused_campaign_op
+        try:
+            fs.make_fused_campaign_op = lambda *a, **k: orig(
+                *a, **{**k, "interpret": True, "block_r": 8}
+            )
+            cfg = SimulationConfig(
+                dt_fs=0.5, temperature=0.0, fused_campaign=True
+            )
+            final, frames, log = simulate_ensemble(
+                ens, ff, n_steps=20, save_every=10, config=cfg
+            )
+        finally:
+            fs.make_fused_campaign_op = orig
+
+        assert frames.shape == (2, 4, n, 3)
+        assert int(final.step[0]) == 20
+        assert bool(jnp.all(jnp.isfinite(frames)))
+        assert log["T"].shape == (2, 4)
