@@ -25,7 +25,6 @@ if os.environ.get("MDX_BENCH_RBG", "1") == "1":
     jax.config.update("jax_default_prng_impl", "rbg")
 
 import jax.numpy as jnp
-import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -80,6 +79,7 @@ def main():
         campaign = make_fused_campaign_op(
             ff, n_inner=50, dt_fs=cfg.dt_fs, temperature=cfg.temperature,
             gamma_ps=cfg.gamma_ps, bias=bias,
+            block_r=int(os.environ.get("MDX_BENCH_CBLOCK", 64)),
         )
     else:
         step_fn = make_ensemble_step_fn(ff, cfg, bias)

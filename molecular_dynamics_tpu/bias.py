@@ -12,7 +12,7 @@ object both *steers simulations* and *scores generated structures*.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax.numpy as jnp
 from flax import struct

@@ -10,8 +10,6 @@ molecules.
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Iterable, Tuple
-
 import numpy as np
 
 

@@ -10,7 +10,6 @@ chip; ``mdx energy`` reproduces the V_Calculations potcalc printouts;
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import os
 import sys

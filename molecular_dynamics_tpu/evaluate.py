@@ -8,7 +8,7 @@ rollouts. This module makes those first-class.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 import jax

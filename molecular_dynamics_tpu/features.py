@@ -13,7 +13,6 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from molecular_dynamics_tpu.energy import dihedral_angles

@@ -19,7 +19,7 @@ gamma in 1/ps, temperatures in Kelvin; see ``mdx.units``.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ CHARMM conventions handled:
 from __future__ import annotations
 
 import math
-import re
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np

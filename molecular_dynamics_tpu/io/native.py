@@ -13,10 +13,8 @@ is present.
 from __future__ import annotations
 
 import ctypes
-import os
 import pathlib
 import subprocess
-from typing import Optional, Tuple
 
 import numpy as np
 

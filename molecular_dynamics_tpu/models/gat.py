@@ -14,8 +14,6 @@ graph rebuilt every step (single_graph_gat.py:225-260).
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

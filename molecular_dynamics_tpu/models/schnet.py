@@ -10,8 +10,6 @@ convolution is a dense (N, N) matmul — MXU work, no sparse ops.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

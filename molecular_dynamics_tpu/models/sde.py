@@ -15,7 +15,7 @@ without adjoint machinery (checkpoint the scan for long horizons).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ Covers the reference families in SURVEY.md §2.11:
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ the final token.
 
 from __future__ import annotations
 
-import numpy as np
 import jax.numpy as jnp
 import flax.linen as nn
 

@@ -16,8 +16,6 @@ gradients stay finite.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp

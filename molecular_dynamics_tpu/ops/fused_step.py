@@ -21,9 +21,6 @@ tests (single-step force match, NVE drift, thermostat temperature).
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp

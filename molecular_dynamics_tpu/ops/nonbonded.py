@@ -27,7 +27,6 @@ XLA reference implementation — exact gradients everywhere, fast primal.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import numpy as np
 import jax
@@ -248,8 +247,6 @@ def make_nonbonded_op(
         return jnp.sum(e[:r0, :n], axis=1), forces.astype(pos.dtype)
 
     # --- XLA reference for the backward pass (and parity tests) ---
-    import dataclasses as _dc
-
     from molecular_dynamics_tpu.energy import EnergyConfig, energy_terms
 
     terms = ["electrostatics", "lj"]

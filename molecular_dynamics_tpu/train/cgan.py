@@ -21,7 +21,7 @@ SURVEY.md §3.3 marks this as the hot loop).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,9 +12,8 @@ Serialisation is flax msgpack — a single portable file per target; MD states
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Any
 
-import numpy as np
 from flax import serialization
 
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import glob as globlib
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 

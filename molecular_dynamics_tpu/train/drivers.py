@@ -291,7 +291,6 @@ def _run_lstm(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     import jax
     import jax.numpy as jnp
 
-    from molecular_dynamics_tpu.features import phi_psi_indices
     from molecular_dynamics_tpu.models.seq import LSTMNLLPredictor, LSTMPredictor
     from molecular_dynamics_tpu.train.datasets import window_batches
     from molecular_dynamics_tpu.train.seq import (

@@ -10,8 +10,6 @@ Transformer (any model with the (window) -> prediction signature).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import optax

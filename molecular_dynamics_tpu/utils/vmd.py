@@ -8,7 +8,6 @@ the equivalent loader for this framework's artifacts.
 
 from __future__ import annotations
 
-import os
 from typing import Optional, Sequence
 
 
