@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Regenerate the reference's SMD training-data campaign on one TPU chip.
+
+The reference produced its training data with 50 independent NAMD cluster
+jobs, each 500,000 Langevin steps (1 ns) of steered MD pulling deca-alanine's
+end-to-end distance across 22 A, frames every 50 steps
+(All_ML_Training_Data/210905_SMD_decaalanine/SMD/gendirs_GBIS.py + jobpip.sh).
+
+This script runs the same protocol — Langevin 300 K, damping 1/ps, 2 fs
+steps, 500k steps, moving harmonic colvar over the full run, dcdfreq 50 —
+for ``--replicas`` replicas **in one program** using the fully-fused campaign
+kernel, then writes the npy trajectories the reference's model loaders
+consume, plus a DCD, the colvar/energy CSV log, and summary statistics.
+
+Usage: python scripts/regenerate_smd.py --replicas 64 --steps 500000
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import molecular_dynamics_tpu as mdx
+from molecular_dynamics_tpu.energy import REFERENCE_CONFIG, total_energy
+from molecular_dynamics_tpu.examples import decaalanine_full
+from molecular_dynamics_tpu.integrate import initialize_forces
+from molecular_dynamics_tpu.io import write_dcd
+from molecular_dynamics_tpu.log import write_simulation_log
+from molecular_dynamics_tpu.sim import SimulationConfig, simulate_ensemble
+from molecular_dynamics_tpu.system import replicate
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=500_000)
+    ap.add_argument("--save-every", type=int, default=50)
+    ap.add_argument("--pull", type=float, default=22.0, help="colvar span (A)")
+    ap.add_argument("--out", default="smd_campaign")
+    ap.add_argument("--no-fused", action="store_true")
+    ap.add_argument("--max-dump", type=int, default=4,
+                    help="replicas to write npy/dcd for (stats use all)")
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    ff, coords, meta = decaalanine_full(dtype=jnp.float32)
+    n = ff.n_atoms
+    force = lambda p: -jax.grad(
+        lambda q: total_energy(q, ff, config=REFERENCE_CONFIG)
+    )(p)
+    pos = jax.jit(
+        lambda p: mdx.minimize_fire(
+            p, force, n_steps=1000, dt_start=1e-3, dt_max=1e-2
+        )
+    )(jnp.asarray(coords, jnp.float32))
+
+    d0 = float(jnp.linalg.norm(pos[-1] - pos[0]))
+    bias = mdx.HarmonicSMDBias.create(
+        n_atoms=n, group1=[0], group2=[n - 1], fk=1.0,
+        cent_0=d0, cent_1=d0 + args.pull, T=float(args.steps),
+    )
+    key = jax.random.PRNGKey(0)
+    state = mdx.system_init(
+        pos, vel=mdx.maxwell_boltzmann(key, ff.masses, 300.0), key=key
+    )
+    state = initialize_forces(
+        state,
+        lambda p, b: -jax.grad(
+            lambda q: total_energy(q, ff, config=REFERENCE_CONFIG)
+            + bias.energy(q, 0)
+        )(p),
+    )
+    ens = replicate(state, args.replicas, seed=1)
+
+    cfg = SimulationConfig(
+        dt_fs=2.0, temperature=300.0, gamma_ps=1.0,
+        fused_campaign=not args.no_fused,
+    )
+    t0 = time.time()
+    final, frames, log = simulate_ensemble(
+        ens, ff, args.steps, args.save_every, cfg, bias
+    )
+    frames = np.asarray(frames)  # (saves, R, N, 3)
+    elapsed = time.time() - t0
+
+    # artifacts: reference-layout npy per replica (subset), one DCD, CSV log
+    for r in range(min(args.replicas, args.max_dump)):
+        np.save(
+            os.path.join(args.out, f"raw-traj_rep-{r}.npy"), frames[:, r]
+        )
+    write_dcd(os.path.join(args.out, "rep0.dcd"), frames[:, 0])
+    strided_log = {k: np.asarray(v)[::20] for k, v in log.items()}
+    write_simulation_log(os.path.join(args.out, "sim_log.csv"), strided_log)
+
+    cv = np.asarray(log["colvar_value"])  # (saves, R)
+    center = np.asarray(log["colvar_center"])[:, 0]
+    temp = np.asarray(log["T"])
+    lag = center[:, None] - cv
+    summary = {
+        "replicas": args.replicas,
+        "steps": args.steps,
+        "wall_s": round(elapsed, 1),
+        "aggregate_steps_per_sec": round(args.steps * args.replicas / elapsed, 1),
+        "sim_ns_per_replica": args.steps * cfg.dt_fs / 1e6,
+        "colvar_start_A": round(float(cv[0].mean()), 2),
+        "colvar_end_A": round(float(cv[-1].mean()), 2),
+        "colvar_target_end_A": round(float(center[-1]), 2),
+        "colvar_mean_lag_A": round(float(lag[len(lag) // 2 :].mean()), 2),
+        "temperature_mean_K": round(float(temp[len(temp) // 2 :].mean()), 1),
+        "all_finite": bool(np.isfinite(frames).all()),
+        "frames_shape": list(frames.shape),
+    }
+    with open(os.path.join(args.out, "summary.json"), "w") as fh:
+        json.dump(summary, fh, indent=2)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
