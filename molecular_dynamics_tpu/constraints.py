@@ -1,0 +1,219 @@
+"""Holonomic bond constraints (SHAKE/RATTLE-style projections).
+
+The reference's NAMD campaigns ran with ``rigidBonds ALL`` — all bonds to
+hydrogen constrained — which is what makes its 2 fs timestep rigorous
+(gendirs_GBIS.py:66). This module provides the equivalent for this
+framework's integrators:
+
+- :func:`hydrogen_bond_constraints` — extract the constraint list (bond
+  pairs involving a hydrogen + their equilibrium lengths) from ``FFParams``,
+- :func:`apply_position_constraints` — iterative mass-weighted projection of
+  positions onto the constraint manifold (Jacobi sweeps; the SHAKE fixed
+  point),
+- :func:`apply_velocity_constraints` — RATTLE velocity projection (removes
+  the along-bond relative velocity),
+- :func:`constrained_langevin_step` / :func:`constrained_velocity_verlet_step`
+  — g-BAOAB-style constrained integrators built on the projections.
+
+All functions are pure jax (jit/vmap/scan-safe); constraint counts are
+static. Hydrogen clusters (CH3/NH3) couple constraints through the shared
+heavy atom, so a fixed number of Jacobi sweeps (default 30) is used — for
+X-H stars this converges well below 1e-5 A.
+
+Temperature accounting: with C constraints the kinetic temperature uses
+3N - C degrees of freedom — pass ``n_constraints`` to
+:func:`molecular_dynamics_tpu.integrate.temperature` via the ``dof`` hook
+(see ``constrained_temperature``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from molecular_dynamics_tpu import units
+from molecular_dynamics_tpu.ff.params import FFParams
+from molecular_dynamics_tpu.system import MDState
+
+
+class Constraints(NamedTuple):
+    """Static constraint set: pairs (C, 2) int32, lengths (C,), inverse
+    masses per atom (N,)."""
+
+    pairs: jnp.ndarray
+    lengths: jnp.ndarray
+    inv_mass: jnp.ndarray
+
+    @property
+    def n_constraints(self) -> int:
+        return self.pairs.shape[0]
+
+
+def hydrogen_bond_constraints(
+    ff: FFParams, hydrogen_mass_cutoff: float = 3.5
+) -> Constraints:
+    """Constraint list for all bonds involving a hydrogen (NAMD
+    ``rigidBonds all``); lengths are the force-field equilibrium values."""
+    bonds = np.asarray(ff.bonds)
+    params = np.asarray(ff.bond_params)
+    masses = np.asarray(ff.masses)
+    is_h = masses < hydrogen_mass_cutoff
+    keep = is_h[bonds[:, 0]] | is_h[bonds[:, 1]]
+    return Constraints(
+        pairs=jnp.asarray(bonds[keep], jnp.int32),
+        lengths=jnp.asarray(params[keep, 1], jnp.float32),
+        inv_mass=jnp.asarray(1.0 / masses, jnp.float32),
+    )
+
+
+def all_bond_constraints(ff: FFParams) -> Constraints:
+    """Constrain every bond (use with care: heavily coupled chains need
+    more sweeps; hydrogen-only is the standard protocol)."""
+    return Constraints(
+        pairs=jnp.asarray(ff.bonds, jnp.int32),
+        lengths=jnp.asarray(np.asarray(ff.bond_params)[:, 1], jnp.float32),
+        inv_mass=jnp.asarray(1.0 / np.asarray(ff.masses), jnp.float32),
+    )
+
+
+def apply_position_constraints(
+    pos: jnp.ndarray,
+    cons: Constraints,
+    n_iter: int = 30,
+    pos_ref: jnp.ndarray = None,
+) -> jnp.ndarray:
+    """SHAKE: project positions onto the constraint manifold.
+
+    With ``pos_ref`` (the pre-update positions) the Lagrange corrections act
+    along the *reference* bond directions — the textbook SHAKE scheme, which
+    conserves energy in RATTLE velocity-Verlet. Without it (setup use) the
+    corrections act along the current bond (plain projection).
+    Mass-weighted Jacobi sweeps; ``pos`` is (N, 3) — vmap for batches.
+    """
+    i = cons.pairs[:, 0]
+    j = cons.pairs[:, 1]
+    wi = cons.inv_mass[i][:, None]
+    wj = cons.inv_mass[j][:, None]
+    wsum = wi + wj
+    d0_sq = (cons.lengths * cons.lengths)[:, None]
+    dref = None if pos_ref is None else pos_ref[i] - pos_ref[j]
+
+    def sweep(_, p):
+        d = p[i] - p[j]
+        if dref is None:
+            dist = jnp.sqrt(
+                jnp.maximum(jnp.sum(d * d, axis=-1), 1e-12)
+            )[:, None]
+            corr = (dist - cons.lengths[:, None]) / (dist * wsum) * d
+        else:
+            diff = jnp.sum(d * d, axis=-1, keepdims=True) - d0_sq
+            denom = 2.0 * wsum * jnp.sum(d * dref, axis=-1, keepdims=True)
+            g = diff / jnp.where(
+                jnp.abs(denom) > 1e-12, denom, 1e-12
+            )
+            corr = g * dref
+        p = p.at[i].add(-wi * corr)
+        p = p.at[j].add(wj * corr)
+        return p
+
+    return jax.lax.fori_loop(0, n_iter, sweep, pos)
+
+
+def apply_velocity_constraints(
+    vel: jnp.ndarray, pos: jnp.ndarray, cons: Constraints, n_iter: int = 15
+) -> jnp.ndarray:
+    """RATTLE velocity projection: zero the along-bond relative velocity."""
+    i = cons.pairs[:, 0]
+    j = cons.pairs[:, 1]
+    wi = cons.inv_mass[i][:, None]
+    wj = cons.inv_mass[j][:, None]
+    wsum = wi + wj
+    d = pos[i] - pos[j]
+    dhat = d / jnp.sqrt(
+        jnp.maximum(jnp.sum(d * d, axis=-1, keepdims=True), 1e-12)
+    )
+
+    def sweep(_, v):
+        vrel = jnp.sum((v[i] - v[j]) * dhat, axis=-1, keepdims=True)
+        lam = vrel / wsum
+        v = v.at[i].add(-wi * lam * dhat)
+        v = v.at[j].add(wj * lam * dhat)
+        return v
+
+    return jax.lax.fori_loop(0, n_iter, sweep, vel)
+
+
+def constrained_temperature(ekin, n_atoms: int, n_constraints: int):
+    """Kinetic temperature with 3N - C degrees of freedom."""
+    dof = 3 * n_atoms - n_constraints
+    return 2.0 * ekin / (dof * units.BOLTZMANN)
+
+
+def constrained_langevin_step(
+    state: MDState,
+    force_fn,
+    masses: jnp.ndarray,
+    cons: Constraints,
+    dt_fs: float,
+    T: float,
+    gamma_ps: float = 1.0,
+    n_iter: int = 30,
+) -> MDState:
+    """BAOAB Langevin step with SHAKE/RATTLE projections (g-BAOAB style):
+    positions re-projected after each drift, velocities after each kick and
+    after the O-step. Single system; vmap over replicas."""
+    from molecular_dynamics_tpu.integrate import _normal_like, _split_keys
+
+    dt = dt_fs / units.TIMEFACTOR
+    gamma = gamma_ps * (units.TIMEFACTOR / 1000.0)
+    m = masses[:, None]
+    key, noise_key = _split_keys(state.key)
+
+    def fix_v(v, p):
+        return apply_velocity_constraints(v, p, cons, max(n_iter // 2, 5))
+
+    vel = fix_v(state.vel + 0.5 * dt * state.forces / m, state.pos)
+    pos = apply_position_constraints(
+        state.pos + 0.5 * dt * vel, cons, n_iter, pos_ref=state.pos
+    )
+
+    c1 = jnp.exp(-gamma * dt)
+    c2 = jnp.sqrt(units.BOLTZMANN * T / m * (1.0 - c1 * c1))
+    noise = _normal_like(noise_key, vel)
+    vel = fix_v(c1 * vel + c2 * noise, pos)
+
+    pos_mid = pos
+    pos = apply_position_constraints(
+        pos + 0.5 * dt * vel, cons, n_iter, pos_ref=pos_mid
+    )
+    forces = force_fn(pos, state.box)
+    vel = fix_v(vel + 0.5 * dt * forces / m, pos)
+    return state.replace(
+        pos=pos, vel=vel, forces=forces, key=key, step=state.step + 1
+    )
+
+
+def constrained_velocity_verlet_step(
+    state: MDState,
+    force_fn,
+    masses: jnp.ndarray,
+    cons: Constraints,
+    dt_fs: float,
+    n_iter: int = 30,
+) -> MDState:
+    """RATTLE velocity-Verlet (NVE with constraints)."""
+    dt = dt_fs / units.TIMEFACTOR
+    m = masses[:, None]
+    vel_half = state.vel + 0.5 * dt * state.forces / m
+    pos = apply_position_constraints(
+        state.pos + dt * vel_half, cons, n_iter, pos_ref=state.pos
+    )
+    # velocity consistent with the constrained move
+    vel_half = (pos - state.pos) / dt
+    forces = force_fn(pos, state.box)
+    vel = vel_half + 0.5 * dt * forces / m
+    vel = apply_velocity_constraints(vel, pos, cons, max(n_iter // 2, 5))
+    return state.replace(pos=pos, vel=vel, forces=forces, step=state.step + 1)

@@ -66,6 +66,10 @@ class SimulationConfig:
     #: simulation path; not differentiable (training uses the paths above).
     #: Langevin + no PBC only.
     fused_campaign: bool = False
+    #: constrain all bonds to hydrogen (NAMD rigidBonds all — the
+    #: reference's data-generation protocol, gendirs_GBIS.py:66) via
+    #: SHAKE/RATTLE on the composed step path (not the fused campaign).
+    constrain_h_bonds: bool = False
 
 
 def make_step_fn(
@@ -173,11 +177,37 @@ def make_ensemble_step_fn(
 
     grad_single = jax.grad(pot_single)
 
+    if config.constrain_h_bonds:
+        from molecular_dynamics_tpu.constraints import (
+            constrained_langevin_step,
+            constrained_velocity_verlet_step,
+            hydrogen_bond_constraints,
+        )
+
+        cons = hydrogen_bond_constraints(ff)
+
     def step_fn(states: MDState) -> MDState:
         def force_fn(pos, box):
             if use_fused:
                 return fused_force(pos, states.step)
             return -jax.vmap(grad_single)(pos, box, states.step)
+
+        if config.constrain_h_bonds:
+            # SHAKE/RATTLE acts per system: vmap the constrained step over
+            # replicas with the single-system XLA force path (the fused pair
+            # kernel is batched-only and is bypassed here)
+            def single(s):
+                f1 = lambda p, b: -grad_single(p, b, s.step)
+                if config.integrator == "nve":
+                    return constrained_velocity_verlet_step(
+                        s, f1, ff.masses, cons, config.dt_fs
+                    )
+                return constrained_langevin_step(
+                    s, f1, ff.masses, cons, config.dt_fs,
+                    config.temperature, config.gamma_ps,
+                )
+
+            return jax.vmap(single)(states)
 
         if config.integrator == "nve":
             return velocity_verlet_step(states, force_fn, ff.masses, config.dt_fs)
