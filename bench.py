@@ -77,7 +77,8 @@ def main():
         from molecular_dynamics_tpu.ops.fused_step import make_fused_campaign_op
 
         campaign = make_fused_campaign_op(
-            ff, n_inner=50, dt_fs=cfg.dt_fs, temperature=cfg.temperature,
+            ff, n_inner=int(os.environ.get("MDX_BENCH_INNER", 50)),
+            dt_fs=cfg.dt_fs, temperature=cfg.temperature,
             gamma_ps=cfg.gamma_ps, bias=bias,
             block_r=int(os.environ.get("MDX_BENCH_CBLOCK", 64)),
         )
@@ -98,16 +99,18 @@ def main():
 
         @jax.jit
         def advance(states, n):
+            inner = campaign.n_inner
+
             def seg(i, s):
                 pos, vel, frc = campaign(
                     s.pos, s.vel, s.forces, s.step[0],
                     jnp.int32(1234) + i + s.step[0],
                 )
                 return s.replace(
-                    pos=pos, vel=vel, forces=frc, step=s.step + 50
+                    pos=pos, vel=vel, forces=frc, step=s.step + inner
                 )
 
-            return jax.lax.fori_loop(0, n // 50, seg, states)
+            return jax.lax.fori_loop(0, n // inner, seg, states)
     else:
 
         @jax.jit
