@@ -172,6 +172,12 @@ def cmd_energy(args) -> int:
     ff, coords, _ = _load_system(args.topology, args.parameters)
     if args.frames:
         frames = np.load(args.frames)
+    elif coords is None:
+        print(
+            "topology carries no coordinates; pass --frames or a pdb",
+            file=sys.stderr,
+        )
+        return 2
     else:
         frames = coords[None]
     fn = jax.jit(jax.vmap(lambda p: energy_terms(p, ff, config=REFERENCE_CONFIG)))

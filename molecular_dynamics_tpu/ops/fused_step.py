@@ -29,8 +29,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from molecular_dynamics_tpu import units
 from molecular_dynamics_tpu.ff.params import FFParams
-from molecular_dynamics_tpu.ops.nonbonded import LANE, _build_pair_tables
-from molecular_dynamics_tpu.ops.ring import ring_pair_forces
+from molecular_dynamics_tpu.ops.nonbonded import LANE
+from molecular_dynamics_tpu.ops.ring import build_ring_tables, ring_pair_forces
 
 _EPS = 1e-12
 
@@ -179,6 +179,9 @@ def make_fused_campaign_op(
     n = ff.n_atoms
     n_pad = ((n + LANE - 1) // LANE) * LANE
     n_shifts = n_pad // 2
+    if cutoff is None:
+        cutoff = 1e15  # effectively no cutoff (matches the sibling pair ops)
+        rfa = False
     if rfa:
         denom = 2.0 * solvent_dielectric + 1.0
         krf = (solvent_dielectric - 1.0) / (denom * cutoff**3)
@@ -186,22 +189,17 @@ def make_fused_campaign_op(
     else:
         krf, crf = 0.0, 0.0
 
-    # --- ring pair tables ---
-    dense = [np.asarray(t) for t in _build_pair_tables(ff, include_ub, n_pad)]
-    i_idx = np.arange(n_pad)
-    ring_tables = []
-    for t_i, t in enumerate(dense):
-        rows = np.zeros((n_shifts, n_pad), np.float32)
-        for k in range(1, n_shifts + 1):
-            rows[k - 1] = t[i_idx, (i_idx + k) % n_pad]
-        if t_i in (0, 1, 2, 3, 4, 6, 7, 8):
-            rows[n_shifts - 1] *= 0.5
-        ring_tables.append(jnp.asarray(rows))
-    ring_tables = tuple(ring_tables)
+    # --- ring pair tables (shared builder: physics lives once) ---
+    ring_tables = build_ring_tables(ff, n_pad, include_ub=include_ub)
 
     ang = _angle_tables(ff, n_pad)
     tor = _torsion_tables(ff, n_pad)
-    max_t = tor[9] if tor else 0
+    if ang is None or tor is None:
+        raise NotImplementedError(
+            "the fused campaign kernel requires angle and torsion terms; "
+            "use the composed path (fused_nonbonded) for systems without them"
+        )
+    max_t = tor[9]
 
     # --- lane vectors: masses, atom mask, BAOAB constants, bias weights ---
     dt = dt_fs / units.TIMEFACTOR

@@ -157,6 +157,40 @@ def _ring_kernel(
     e_ref[:] = e
 
 
+def build_ring_tables(
+    ff: FFParams,
+    n_pad: int,
+    include_ub: bool = False,
+    include_bonds: bool = True,
+    include_14: bool = True,
+):
+    """Per-shift ring tables: row k-1, lane i = dense_table[i, (i+k) % L].
+
+    The half-way shift (k = L/2) covers each pair twice, so every *scaling*
+    table's last row is halved (mask, LJ A/B, qq, bond k, 1-4 tables); the
+    geometric d0 row is left alone. Shared by the standalone ring kernel and
+    the fully-fused campaign kernel so the physics lives once.
+    """
+    dense = [np.asarray(t) for t in _build_pair_tables(ff, include_ub, n_pad)]
+    if not include_bonds:
+        dense[4] = np.zeros_like(dense[4])
+        dense[5] = np.zeros_like(dense[5])
+    if not include_14:
+        for idx in (6, 7, 8):
+            dense[idx] = np.zeros_like(dense[idx])
+    n_shifts = n_pad // 2
+    i_idx = np.arange(n_pad)
+    out = []
+    for t_i, t in enumerate(dense):
+        rows = np.zeros((n_shifts, n_pad), np.float32)
+        for k in range(1, n_shifts + 1):
+            rows[k - 1] = t[i_idx, (i_idx + k) % n_pad]
+        if t_i != 5:  # every scaling table; 5 = bond d0 (a length, not a scale)
+            rows[n_shifts - 1] *= 0.5
+        out.append(jnp.asarray(rows))
+    return tuple(out)
+
+
 def make_pair_ring_op(
     ff: FFParams,
     cutoff: float = 9.0,
@@ -180,27 +214,10 @@ def make_pair_ring_op(
     else:
         krf, crf = 0.0, 0.0
 
-    dense = [np.asarray(t) for t in _build_pair_tables(ff, include_ub, n_pad)]
-    if not include_bonds:
-        dense[4] = np.zeros_like(dense[4])
-        dense[5] = np.zeros_like(dense[5])
-    if not include_14:
-        dense[6] = np.zeros_like(dense[6])
-        dense[7] = np.zeros_like(dense[7])
-        dense[8] = np.zeros_like(dense[8])
-
-    # gather dense tables into per-shift rows: row k-1, lane i = T[i, (i+k)%L]
-    i_idx = np.arange(n_pad)
-    ring_tables = []
-    for t_i, t in enumerate(dense):
-        rows = np.zeros((n_shifts, n_pad), np.float32)
-        for k in range(1, n_shifts + 1):
-            rows[k - 1] = t[i_idx, (i_idx + k) % n_pad]
-        # the half-way shift covers each pair twice: halve every scaling row
-        if t_i in (0, 1, 2, 3, 4, 6, 7, 8):  # qq, A, B, mask, kb, a14, b14, qq14
-            rows[n_shifts - 1] *= 0.5
-        ring_tables.append(jnp.asarray(rows))
-    ring_tables = tuple(ring_tables)
+    ring_tables = build_ring_tables(
+        ff, n_pad, include_ub=include_ub,
+        include_bonds=include_bonds, include_14=include_14,
+    )
 
     kern = functools.partial(
         _ring_kernel,

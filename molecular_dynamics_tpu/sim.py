@@ -224,14 +224,30 @@ def make_ensemble_step_fn(
 
 
 def _observables(state: MDState, ff: FFParams, config: SimulationConfig, bias):
-    epot = total_energy(state.pos, ff, box=state.box, config=config.energy)
+    # same box handling as the force path, so logged energies match the
+    # dynamics actually simulated
+    epot = total_energy(
+        state.pos, ff,
+        box=state.box if config.pbc else None,
+        config=config.energy,
+    )
     ekin = kinetic_energy(state.vel, ff.masses)
+    if config.constrain_h_bonds:
+        from molecular_dynamics_tpu.constraints import (
+            constrained_temperature,
+            hydrogen_bond_constraints,
+        )
+
+        n_cons = hydrogen_bond_constraints(ff).n_constraints
+        temp = constrained_temperature(ekin, ff.masses.shape[0], n_cons)
+    else:
+        temp = temperature(ekin, ff.masses.shape[0])
     obs = {
         "step": state.step,
         "epot": epot,
         "ekin": ekin,
         "etot": epot + ekin,
-        "T": temperature(ekin, ff.masses.shape[0]),
+        "T": temp,
     }
     if bias is not None:
         obs["colvar_center"] = bias.center(state.step)
@@ -295,6 +311,9 @@ def simulate_ensemble(
         config.fused_campaign
         and config.integrator == "langevin"
         and not config.pbc
+        # SHAKE/RATTLE is not implemented inside the campaign kernel —
+        # honor the constraint request by falling back to the composed path
+        and not config.constrain_h_bonds
     )
     if use_campaign:
         from molecular_dynamics_tpu.ops.fused_step import (
