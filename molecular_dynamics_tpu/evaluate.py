@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from molecular_dynamics_tpu.bias import end_to_end_distance
-from molecular_dynamics_tpu.features import aligned_rmsd
+from molecular_dynamics_tpu.features import aligned_rmsd, kabsch_align
 
 
 def e2e_statistics(
@@ -53,6 +53,36 @@ def compare_e2e(
         "max_abs_error": float(np.max(np.abs(g["mean"] - d["mean"]))),
         "std_abs_error": float(np.mean(np.abs(g["std"] - d["std"]))),
     }
+
+
+def radius_of_gyration(frames: np.ndarray, masses=None) -> np.ndarray:
+    """Mass-weighted radius of gyration per frame, (n_frames,)."""
+    frames = jnp.asarray(frames)
+    if masses is None:
+        w = jnp.ones(frames.shape[-2]) / frames.shape[-2]
+    else:
+        masses = jnp.asarray(masses)
+        w = masses / jnp.sum(masses)
+    com = jnp.einsum("a,fac->fc", w, frames)
+    d2 = jnp.sum((frames - com[:, None, :]) ** 2, axis=-1)
+    return np.asarray(jnp.sqrt(jnp.einsum("a,fa->f", w, d2)))
+
+
+def rmsf(frames: np.ndarray) -> np.ndarray:
+    """Per-atom root-mean-square fluctuation about the mean structure
+    after Kabsch alignment to the first frame, (n_atoms,)."""
+    frames = jnp.asarray(frames, jnp.float64)
+    ref = frames[0]
+
+    def align(f):
+        r, t = kabsch_align(f, ref)
+        return f @ r.T + t
+
+    aligned = jax.vmap(align)(frames)
+    mean = jnp.mean(aligned, axis=0)
+    return np.asarray(
+        jnp.sqrt(jnp.mean(jnp.sum((aligned - mean) ** 2, axis=-1), axis=0))
+    )
 
 
 def ensemble_rmsd_to_reference(

@@ -178,3 +178,33 @@ class TestEvaluate:
         w = whiten(frames, mean, std)
         assert abs(w.reshape(20, -1).mean()) < 1e-10
         np.testing.assert_allclose(unwhiten(w, mean, std), frames, rtol=1e-10)
+
+
+class TestTrajectoryAnalysis:
+    def test_radius_of_gyration(self, rng):
+        from molecular_dynamics_tpu.evaluate import radius_of_gyration
+
+        # antipodal point pairs on a sphere of radius 5: COM exactly at the
+        # centre, so Rg == 5
+        v = rng.normal(0, 1, (100, 3))
+        v = 5.0 * v / np.linalg.norm(v, axis=-1, keepdims=True)
+        frame = np.concatenate([v, -v])[None]
+        rg = radius_of_gyration(frame)
+        assert rg.shape == (1,)
+        assert abs(rg[0] - 5.0) < 1e-5
+
+    def test_rmsf_rigid_motion_is_zero(self, rng):
+        from molecular_dynamics_tpu.evaluate import rmsf
+
+        base = rng.normal(0, 3, (15, 3))
+        frames = []
+        for k in range(6):
+            th = 0.3 * k
+            rot = np.array(
+                [[np.cos(th), -np.sin(th), 0],
+                 [np.sin(th), np.cos(th), 0], [0, 0, 1.0]]
+            )
+            frames.append(base @ rot.T + k * np.array([1.0, 0, 0]))
+        out = rmsf(np.stack(frames))
+        assert out.shape == (15,)
+        assert out.max() < 1e-6  # pure rigid motion -> no fluctuation
