@@ -62,8 +62,10 @@ class EnergyConfig:
     rfa: bool = False
     solvent_dielectric: float = units.SOLVENT_DIELECTRIC
     switch_dist: Optional[float] = None
-    #: evaluate chamber Urey-Bradley 1-3 springs if the FF carries them
-    urey_bradley: bool = False
+    #: chamber Urey-Bradley 1-3 springs: None (default) = auto-enable
+    #: whenever the FF carries UB terms (so chamber-prmtop systems get their
+    #: complete CHARMM energy out of the box), True/False = force on/off
+    urey_bradley: Optional[bool] = None
     #: evaluate the dense all-vs-all nonbonded matrix here. Set False when a
     #: fused kernel (mdx.ops.nonbonded) supplies those terms instead — the
     #: bonded/1-4 terms still evaluate normally.
@@ -261,6 +263,18 @@ def _nonbonded_energies(pos, ff: FFParams, box, cfg: EnergyConfig) -> Dict[str, 
 # ---------------------------------------------------------------------------
 
 
+def resolve_urey_bradley(config: EnergyConfig, ff: FFParams) -> bool:
+    """Concrete UB on/off for this (config, force field) pair.
+
+    ``urey_bradley=None`` auto-enables UB exactly when the FF carries 1-3
+    springs (chamber prmtops do); an explicit True/False always wins.
+    """
+    has_ub = bool(ff.ub_bonds.shape[0])
+    if config.urey_bradley is None:
+        return has_ub
+    return bool(config.urey_bradley) and has_ub
+
+
 def energy_terms(
     pos: Array,
     ff: FFParams,
@@ -305,7 +319,7 @@ def energy_terms(
         for k, v in nb.items():
             out[k] = out.get(k, zero) + v
 
-    if cfg.urey_bradley and ff.ub_bonds.shape[0]:
+    if resolve_urey_bradley(cfg, ff):
         out["urey_bradley"] = _urey_bradley_energy(pos, ff, box)
 
     if external is not None:

@@ -40,8 +40,8 @@ def build_ff_params(
     ff,
     terms: Sequence[str] = ("bonds", "angles", "dihedrals", "impropers", "1-4", "lj"),
     exclusions: Sequence[str] = ("bonds", "angles", "1-4"),
-    charges_from: str = "ff",
-    urey_bradley: bool = False,
+    charges_from: str = "auto",
+    urey_bradley: bool = True,
     dtype=None,
 ) -> FFParams:
     """Build dense force-field parameters for one system.
@@ -50,13 +50,20 @@ def build_ff_params(
     ``mdx.ff.YamlForceField`` (get_charge/get_mass/get_LJ/get_bond/get_angle/
     get_dihedral/get_14/get_improper).
 
-    ``charges_from``: "ff" assigns charges/masses by atom *type* from the
-    force field (torchmd semantics, used by the YAML path); "topology" takes
-    the per-atom columns from the PSF/topology (the NAMD convention — required
-    for CHARMM .prm parameter files, which carry no charges).
+    ``charges_from``: "topology" takes the per-atom charge/mass columns from
+    the PSF/topology (the NAMD convention — required for CHARMM .prm parameter
+    files, which carry no charges); "ff" assigns them by atom *type* from the
+    force field; "auto" (default) prefers per-atom topology charges whenever
+    the topology carries a non-trivial charge column, falling back to the
+    type-keyed FF values. "auto" matches the reference's recorded behaviour:
+    TorchMD's per-term energies for backbone-no-improp.psf + param_bb-3.0.yaml
+    (V_Calculations/Test-1/tutorial.ipynb cell 10, electrostatics 627.06366)
+    reproduce only with the PSF per-atom charges — terminal atoms in the PSF
+    carry different charges than their atom type's YAML entry.
 
-    ``urey_bradley=True`` additionally builds 1-3 UB springs when the force
-    field exposes ``get_urey_bradley`` (CHARMM .prm files).
+    ``urey_bradley=True`` (default) additionally builds 1-3 UB springs when
+    the force field exposes ``get_urey_bradley`` (CHARMM .prm files); YAML
+    force fields carry no UB section, so this is a no-op for them.
     """
     import jax.numpy as jnp
 
@@ -66,8 +73,14 @@ def build_ff_params(
     n = len(atom_types)
     uq_types, type_idx = np.unique(atom_types.astype(str), return_inverse=True)
 
-    if charges_from == "topology":
-        charges = np.asarray(top.charges, np.float64)
+    if charges_from not in ("auto", "topology", "ff"):
+        raise ValueError(f"charges_from must be auto/topology/ff, got {charges_from!r}")
+    top_charges = np.asarray(top.charges, np.float64)
+    use_topology = charges_from == "topology" or (
+        charges_from == "auto" and np.any(top_charges != 0.0)
+    )
+    if use_topology:
+        charges = top_charges
         masses = np.asarray(top.masses, np.float64)
     else:
         charges = np.array([ff.get_charge(t) for t in uq_types])[type_idx]

@@ -164,7 +164,7 @@ def make_fused_campaign_op(
     switch_dist: float = 7.5,
     rfa: bool = True,
     solvent_dielectric: float = units.SOLVENT_DIELECTRIC,
-    include_ub: bool = False,
+    include_ub=None,  # None -> auto: on iff ff carries UB springs
     bias=None,
     block_r: int = 64,
     interpret: bool = False,

@@ -114,8 +114,17 @@ def _kernel(
     e_ref[:] = 0.5 * jnp.sum(pot, axis=2)
 
 
-def _build_pair_tables(ff: FFParams, include_ub: bool, n_pad: int):
+def _resolve_ub(ff: FFParams, include_ub) -> bool:
+    """None -> auto: UB on exactly when the FF carries 1-3 springs (matches
+    energy.resolve_urey_bradley so kernels and the XLA path always agree)."""
+    if include_ub is None:
+        return bool(ff.ub_bonds.shape[0])
+    return bool(include_ub)
+
+
+def _build_pair_tables(ff: FFParams, include_ub, n_pad: int):
     """Host-side dense pair tables for all 2-body terms."""
+    include_ub = _resolve_ub(ff, include_ub)
     n = ff.n_atoms
 
     def pad(t):
@@ -170,7 +179,7 @@ def make_nonbonded_op(
     solvent_dielectric: float = units.SOLVENT_DIELECTRIC,
     include_bonds: bool = True,
     include_14: bool = True,
-    include_ub: bool = False,
+    include_ub=None,  # None -> auto: on iff ff carries UB springs
     block_r: int = 8,
     interpret: bool = False,
 ):
@@ -181,6 +190,7 @@ def make_nonbonded_op(
     the XLA path). ``include_bonds=False``/``include_14=False`` reduce it to
     the pure nonbonded kernel.
     """
+    include_ub = _resolve_ub(ff, include_ub)
     n = ff.n_atoms
     n_pad = ((n + LANE - 1) // LANE) * LANE
     if rfa:

@@ -160,7 +160,7 @@ def _ring_kernel(
 def build_ring_tables(
     ff: FFParams,
     n_pad: int,
-    include_ub: bool = False,
+    include_ub=None,  # None -> auto: on iff ff carries UB springs
     include_bonds: bool = True,
     include_14: bool = True,
 ):
@@ -199,7 +199,7 @@ def make_pair_ring_op(
     solvent_dielectric: float = units.SOLVENT_DIELECTRIC,
     include_bonds: bool = True,
     include_14: bool = True,
-    include_ub: bool = False,
+    include_ub=None,  # None -> auto: on iff ff carries UB springs
     block_r: int = 64,
     interpret: bool = False,
 ):

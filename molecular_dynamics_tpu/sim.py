@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from molecular_dynamics_tpu.energy import (
     EnergyConfig,
     REFERENCE_CONFIG,
+    resolve_urey_bradley,
     total_energy,
 )
 from molecular_dynamics_tpu.ff.params import FFParams
@@ -152,7 +153,7 @@ def make_ensemble_step_fn(
             solvent_dielectric=config.energy.solvent_dielectric,
             include_bonds=True,
             include_14=True,
-            include_ub=config.energy.urey_bradley,
+            include_ub=resolve_urey_bradley(config.energy, ff),
             block_r=block_r,
         )
         at_op = make_angle_torsion_op(
@@ -330,7 +331,7 @@ def simulate_ensemble(
             switch_dist=config.energy.switch_dist,
             rfa=config.energy.rfa,
             solvent_dielectric=config.energy.solvent_dielectric,
-            include_ub=config.energy.urey_bradley,
+            include_ub=resolve_urey_bradley(config.energy, ff),
             bias=bias,
         )
 

@@ -51,6 +51,8 @@ def backbone_system():
     return top, ff, np.asarray(coords)
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # Function-scoped on purpose: a shared session generator makes fixture
+    # data depend on test execution order (flaky under -p no:randomly too).
     return np.random.default_rng(1234)

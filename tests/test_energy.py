@@ -233,3 +233,33 @@ class TestForces:
             )
         )(ff.bond_params)
         assert bool(jnp.any(g != 0))
+
+
+class TestUreyBradleyAuto:
+    """REFERENCE_CONFIG must yield the complete CHARMM energy on chamber
+    systems without caller flags (urey_bradley=None auto-enables when the FF
+    carries UB springs)."""
+
+    def test_chamber_system_includes_ub_by_default(self):
+        from molecular_dynamics_tpu.examples import decaalanine_full
+        from oracle import oracle_energy
+
+        ff, coords, _ = decaalanine_full(dtype=jnp.float64)
+        assert ff.ub_bonds.shape[0] > 0
+        terms = jax.jit(
+            lambda p: energy_terms(p, ff, config=REFERENCE_CONFIG)
+        )(jnp.asarray(coords, jnp.float64))
+        assert "urey_bradley" in terms
+        want = oracle_energy(np.asarray(coords), ff)
+        assert float(terms["urey_bradley"]) == pytest.approx(
+            want["urey_bradley"], abs=1e-8
+        )
+
+    def test_explicit_false_wins(self):
+        import dataclasses
+        from molecular_dynamics_tpu.examples import decaalanine_full
+
+        ff, coords, _ = decaalanine_full(dtype=jnp.float64)
+        cfg = dataclasses.replace(REFERENCE_CONFIG, urey_bradley=False)
+        terms = energy_terms(jnp.asarray(coords, jnp.float64), ff, config=cfg)
+        assert "urey_bradley" not in terms
