@@ -8,6 +8,8 @@ johncava/Molecular_Dynamics research codebase (see SURVEY.md):
 - ``mdx.energy``    — pure-functional differentiable energy terms (bonds, angles,
                       AMBER+CHARMM torsions, impropers, LJ+switching, Coulomb+RFA,
                       repulsion, 1-4 scaled, Urey-Bradley)
+- ``mdx.solvent``   — GB-OBC II implicit solvent + LCPO SASA (the NAMD GBIS
+                      protocol the reference's training data was made with)
 - ``mdx.system``    — functional MD state pytree (pos/vel/box/forces/rng)
 - ``mdx.integrate`` — fused velocity-Verlet / Langevin steps, minimizers,
                       Maxwell-Boltzmann initialisation
@@ -27,11 +29,15 @@ from molecular_dynamics_tpu import units
 from molecular_dynamics_tpu.topology import Topology
 from molecular_dynamics_tpu.ff import FFParams, build_ff_params
 from molecular_dynamics_tpu.energy import (
+    EnergyConfig,
+    GBIS_CONFIG,
+    REFERENCE_CONFIG,
     energy_terms,
     total_energy,
     force_fn,
     energy_and_forces,
 )
+from molecular_dynamics_tpu import solvent
 from molecular_dynamics_tpu.system import MDState, system_init
 from molecular_dynamics_tpu.integrate import (
     velocity_verlet_step,
@@ -50,6 +56,10 @@ __all__ = [
     "Topology",
     "FFParams",
     "build_ff_params",
+    "EnergyConfig",
+    "GBIS_CONFIG",
+    "REFERENCE_CONFIG",
+    "solvent",
     "energy_terms",
     "total_energy",
     "force_fn",

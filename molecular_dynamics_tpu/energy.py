@@ -40,7 +40,10 @@ Array = jnp.ndarray
 #: term names, matching the reference's registry (forces.py:24-26)
 BONDED_TERMS = ("bonds", "angles", "dihedrals", "impropers", "1-4")
 NONBONDED_TERMS = ("electrostatics", "lj", "repulsion", "repulsioncg")
-ALL_TERMS = BONDED_TERMS + NONBONDED_TERMS
+#: implicit-solvent terms (NAMD GBIS protocol, gendirs_GBIS.py:55-64);
+#: require GB tables on the FFParams (solvent.attach_gb_params)
+SOLVENT_TERMS = ("gb", "sasa")
+ALL_TERMS = BONDED_TERMS + NONBONDED_TERMS + SOLVENT_TERMS
 DEFAULT_TERMS = (
     "electrostatics",
     "lj",
@@ -70,6 +73,11 @@ class EnergyConfig:
     #: fused kernel (mdx.ops.nonbonded) supplies those terms instead — the
     #: bonded/1-4 terms still evaluate normally.
     dense_nonbonded: bool = True
+    #: salt molarity for GB Debye screening (NAMD ``ionconcentration``,
+    #: gendirs_GBIS.py:62; only used when "gb" is in terms)
+    ion_concentration: float = 0.0
+    #: kcal/mol/A^2 for the SASA nonpolar term (NAMD ``surfaceTension``)
+    surface_tension: float = 0.005
 
     def __post_init__(self):
         object.__setattr__(self, "terms", tuple(t.lower() for t in self.terms))
@@ -83,6 +91,18 @@ class EnergyConfig:
 #: the configuration every reference Energy module uses
 #: (V_Calculations/Test-5_bias_n_improper/potcalc.py:73)
 REFERENCE_CONFIG = EnergyConfig(cutoff=9.0, rfa=True, switch_dist=7.5)
+
+#: the reference *data-generation* protocol: NAMD GBIS implicit solvent +
+#: SASA (gendirs_GBIS.py:55-68). Plain Coulomb (GB supplies the reaction
+#: field), LJ potential-switched 15->16 A, solvent dielectric 80, 0.1 M salt.
+GBIS_CONFIG = EnergyConfig(
+    terms=DEFAULT_TERMS + ("gb", "sasa"),
+    cutoff=16.0,
+    rfa=False,
+    switch_dist=15.0,
+    solvent_dielectric=80.0,
+    ion_concentration=0.1,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -321,6 +341,26 @@ def energy_terms(
 
     if resolve_urey_bradley(cfg, ff):
         out["urey_bradley"] = _urey_bradley_energy(pos, ff, box)
+
+    if "gb" in cfg.terms or "sasa" in cfg.terms:
+        from molecular_dynamics_tpu import solvent
+
+        if not ff.has_gb:
+            raise ValueError(
+                "GB/SASA terms requested but the FFParams carry no GB "
+                "tables — attach them with solvent.attach_gb_params(ff)"
+            )
+        if "gb" in cfg.terms:
+            out["gb"] = solvent.gb_energy(
+                pos,
+                ff,
+                solvent_dielectric=cfg.solvent_dielectric,
+                ion_concentration=cfg.ion_concentration,
+            )
+        if "sasa" in cfg.terms:
+            out["sasa"] = solvent.sasa_energy(
+                pos, ff, surface_tension=cfg.surface_tension
+            )
 
     if external is not None:
         out["external"] = external(pos)

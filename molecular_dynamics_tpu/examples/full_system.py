@@ -54,7 +54,13 @@ def _load(name: str, dtype=None) -> Tuple[FFParams, np.ndarray, dict]:
         k: raw[k]
         for k in ("atom_names", "atom_types", "res_ids", "res_names")
     }
-    return FFParams(**leaves), raw["coords"], meta
+    from molecular_dynamics_tpu.solvent import attach_gb_params, infer_elements
+
+    ff = attach_gb_params(
+        FFParams(**leaves),
+        elements=infer_elements(leaves["masses"], meta["atom_names"]),
+    )
+    return ff, raw["coords"], meta
 
 
 def decaalanine_full(dtype=None) -> Tuple[FFParams, np.ndarray, dict]:

@@ -159,7 +159,9 @@ def build_ff_params(
             ub_bonds = np.array(ub_rows, np.int64)
             ub_params = np.array(ub_pars, np.float64)
 
-    return finalize_ff_params(
+    from molecular_dynamics_tpu.solvent import attach_gb_params, infer_elements
+
+    params = finalize_ff_params(
         masses=masses,
         charges=charges,
         bonds=bonds,
@@ -178,4 +180,9 @@ def build_ff_params(
         ub_bonds=ub_bonds,
         ub_params=ub_params,
         dtype=dtype,
+    )
+    # GB/SASA tables ride along so implicit-solvent terms are available on
+    # demand (inert until "gb"/"sasa" appear in EnergyConfig.terms)
+    return attach_gb_params(
+        params, elements=infer_elements(masses, top.atom_names)
     )

@@ -62,9 +62,22 @@ class FFParams:
     ub_bonds: jnp.ndarray
     ub_params: jnp.ndarray
 
+    #: optional GB/SASA per-atom tables (attached by
+    #: ``solvent.attach_gb_params``; None = implicit solvent unavailable):
+    #: intrinsic Born radii (N,), HCT screening factors (N,), probe-inflated
+    #: LCPO radii (N,) (0 for H), LCPO weights (N, 4)
+    gb_radii: Optional[jnp.ndarray] = None
+    gb_screen: Optional[jnp.ndarray] = None
+    sasa_radii: Optional[jnp.ndarray] = None
+    sasa_params: Optional[jnp.ndarray] = None
+
     @property
     def n_atoms(self) -> int:
         return self.masses.shape[0]
+
+    @property
+    def has_gb(self) -> bool:
+        return self.gb_radii is not None
 
 
 def _pad_terms(term_lists: Sequence[Sequence[Sequence[float]]], dtype):

@@ -266,7 +266,9 @@ def prmtop_to_ff_params(path: str, dtype=None) -> FFParams:
             axis=1,
         )
 
-    return finalize_ff_params(
+    from molecular_dynamics_tpu.solvent import attach_gb_params, infer_elements
+
+    params = finalize_ff_params(
         masses=top.masses,
         charges=top.charges,
         bonds=bonds,
@@ -284,4 +286,8 @@ def prmtop_to_ff_params(path: str, dtype=None) -> FFParams:
         ub_bonds=ub_bonds,
         ub_params=ub_params,
         dtype=dtype,
+    )
+    # GB/SASA tables (inert until "gb"/"sasa" terms are enabled)
+    return attach_gb_params(
+        params, elements=infer_elements(top.masses, top.atom_names)
     )

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from molecular_dynamics_tpu.energy import (
+    DEFAULT_TERMS,
     EnergyConfig,
     REFERENCE_CONFIG,
     resolve_urey_bradley,
@@ -122,8 +123,6 @@ def make_ensemble_step_fn(
     bonded/1-4/bias terms stay on the vmapped XLA grad path; otherwise this
     is equivalent to ``jax.vmap(make_step_fn(...))``.
     """
-    from molecular_dynamics_tpu.energy import DEFAULT_TERMS
-
     use_fused = (
         config.fused_nonbonded
         and not config.pbc
@@ -315,6 +314,9 @@ def simulate_ensemble(
         # SHAKE/RATTLE is not implemented inside the campaign kernel —
         # honor the constraint request by falling back to the composed path
         and not config.constrain_h_bonds
+        # the campaign kernel covers exactly the default term set; GB/SASA
+        # or reduced-term configs run on the composed XLA path
+        and set(config.energy.terms) == set(DEFAULT_TERMS)
     )
     if use_campaign:
         from molecular_dynamics_tpu.ops.fused_step import (
@@ -371,11 +373,26 @@ def simulate_ensemble(
     return final, frames, log
 
 
-def smd_campaign_config() -> Tuple[SimulationConfig, dict]:
+def smd_campaign_config(implicit_solvent: bool = False) -> Tuple[SimulationConfig, dict]:
     """The reference SMD data-generation protocol as config values:
     Langevin 300 K damping 1/ps, 2 fs steps, 500k steps, frames every 50,
-    colvar 12 -> 34 A over the run (gendirs_GBIS.py:44-131)."""
-    sim = SimulationConfig(dt_fs=2.0, temperature=300.0, gamma_ps=1.0)
+    colvar 12 -> 34 A over the run (gendirs_GBIS.py:44-131).
+
+    ``implicit_solvent=True`` switches the energy to the full NAMD-campaign
+    physics — GBIS + SASA with 0.1 M salt (``gbis on / sasa on``,
+    gendirs_GBIS.py:55-68) and rigid H bonds — instead of the vacuum
+    torchmd-parity config. The GB campaign runs on the composed XLA path
+    (the fused campaign kernel covers the vacuum term set only).
+    """
+    from molecular_dynamics_tpu.energy import GBIS_CONFIG
+
+    sim = SimulationConfig(
+        dt_fs=2.0,
+        temperature=300.0,
+        gamma_ps=1.0,
+        energy=GBIS_CONFIG if implicit_solvent else REFERENCE_CONFIG,
+        constrain_h_bonds=implicit_solvent,
+    )
     colvar = {
         "fk": 1.0,
         "cent_0": 12.0,

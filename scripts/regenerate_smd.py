@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 import molecular_dynamics_tpu as mdx
-from molecular_dynamics_tpu.energy import REFERENCE_CONFIG, total_energy
+from molecular_dynamics_tpu.energy import GBIS_CONFIG, REFERENCE_CONFIG, total_energy
 from molecular_dynamics_tpu.examples import decaalanine_full
 from molecular_dynamics_tpu.integrate import initialize_forces
 from molecular_dynamics_tpu.io import write_dcd
@@ -45,6 +45,12 @@ def main():
     ap.add_argument("--pull", type=float, default=22.0, help="colvar span (A)")
     ap.add_argument("--out", default="smd_campaign")
     ap.add_argument("--no-fused", action="store_true")
+    ap.add_argument(
+        "--gbis", action="store_true",
+        help="full NAMD-campaign physics: GB-OBC+SASA implicit solvent, "
+        "0.1 M salt, rigid H bonds (gendirs_GBIS.py:55-68); runs on the "
+        "composed XLA path",
+    )
     ap.add_argument("--max-dump", type=int, default=4,
                     help="replicas to write npy/dcd for (stats use all)")
     args = ap.parse_args()
@@ -52,8 +58,9 @@ def main():
 
     ff, coords, meta = decaalanine_full(dtype=jnp.float32)
     n = ff.n_atoms
+    e_cfg = GBIS_CONFIG if args.gbis else REFERENCE_CONFIG
     force = lambda p: -jax.grad(
-        lambda q: total_energy(q, ff, config=REFERENCE_CONFIG)
+        lambda q: total_energy(q, ff, config=e_cfg)
     )(p)
     pos = jax.jit(
         lambda p: mdx.minimize_fire(
@@ -73,7 +80,7 @@ def main():
     state = initialize_forces(
         state,
         lambda p, b: -jax.grad(
-            lambda q: total_energy(q, ff, config=REFERENCE_CONFIG)
+            lambda q: total_energy(q, ff, config=e_cfg)
             + bias.energy(q, 0)
         )(p),
     )
@@ -81,7 +88,10 @@ def main():
 
     cfg = SimulationConfig(
         dt_fs=2.0, temperature=300.0, gamma_ps=1.0,
+        energy=e_cfg,
         fused_campaign=not args.no_fused,
+        # the NAMD campaign ran rigidBonds ALL at 2 fs (gendirs_GBIS.py:66)
+        constrain_h_bonds=args.gbis,
     )
     t0 = time.time()
     final, frames, log = simulate_ensemble(
@@ -99,12 +109,29 @@ def main():
     strided_log = {k: np.asarray(v)[::20] for k, v in log.items()}
     write_simulation_log(os.path.join(args.out, "sim_log.csv"), strided_log)
 
+    from molecular_dynamics_tpu.evaluate import radius_of_gyration
+
+    half = frames[frames.shape[0] // 2 :]
+    rg = np.asarray(
+        radius_of_gyration(
+            jnp.asarray(half.reshape(-1, n, 3)), jnp.asarray(ff.masses)
+        )
+    )
+    e2e_all = np.linalg.norm(
+        frames[:, :, -1, :] - frames[:, :, 0, :], axis=-1
+    )
+
     cv = np.asarray(log["colvar_value"])  # (saves, R)
     center = np.asarray(log["colvar_center"])[:, 0]
     temp = np.asarray(log["T"])
     lag = center[:, None] - cv
     summary = {
         "replicas": args.replicas,
+        "physics": "gbis+sasa+rigidH" if args.gbis else "vacuum(rfa)",
+        "rg_mean_A": round(float(rg.mean()), 3),
+        "rg_std_A": round(float(rg.std()), 3),
+        "e2e_mean_A": round(float(e2e_all.mean()), 2),
+        "e2e_final_mean_A": round(float(e2e_all[-1].mean()), 2),
         "steps": args.steps,
         "wall_s": round(elapsed, 1),
         "aggregate_steps_per_sec": round(args.steps * args.replicas / elapsed, 1),

@@ -160,3 +160,113 @@ def oracle_energy(
         k0, d0 = f["ub_params"].T
         out["urey_bradley"] = float(np.sum(k0 * (d - d0) ** 2))
     return out
+
+
+# ---------------------------------------------------------------------------
+# implicit solvent (GB-OBC II + LCPO SASA), scalar-loop formulation
+# ---------------------------------------------------------------------------
+
+GB_OFFSET = 0.09
+KAPPA_FACTOR = 50.29216
+
+
+def oracle_born_radii(pos, ff):
+    """HCT descreening + OBC II tanh rescaling, explicit python loops."""
+    pos = np.asarray(pos, np.float64)
+    radii = np.asarray(ff.gb_radii, np.float64)
+    screen = np.asarray(ff.gb_screen, np.float64)
+    n = len(radii)
+    rho = radii - GB_OFFSET
+    born = np.zeros(n)
+    for i in range(n):
+        acc = 0.0
+        for j in range(n):
+            if j == i:
+                continue
+            d = float(np.linalg.norm(pos[i] - pos[j]))
+            sj = screen[j] * rho[j]
+            if rho[i] >= d + sj:
+                continue  # j's descreening sphere fully inside i
+            lo = max(abs(d - sj), rho[i])
+            up = d + sj
+            term = (
+                1.0 / lo
+                - 1.0 / up
+                + 0.25 * (d - sj * sj / d) * (1.0 / up**2 - 1.0 / lo**2)
+                + 0.5 * math.log(lo / up) / d
+            )
+            if rho[i] < sj - d:
+                term += 2.0 * (1.0 / rho[i] - 1.0 / lo)
+            acc += term
+        psi = 0.5 * rho[i] * acc
+        tanh_arg = psi * (1.0 + psi * (-0.8 + 4.85 * psi))
+        born[i] = 1.0 / (1.0 / rho[i] - math.tanh(tanh_arg) / radii[i])
+    return born
+
+
+def oracle_gb_energy(
+    pos, ff, solvent_dielectric=80.0, ion_concentration=0.0, temperature=300.0
+):
+    """Still-equation GB polarization energy, pair loops incl. self terms."""
+    pos = np.asarray(pos, np.float64)
+    q = np.asarray(ff.charges, np.float64)
+    born = oracle_born_radii(pos, ff)
+    n = len(q)
+    kappa = 0.0
+    if ion_concentration > 0.0:
+        kappa = KAPPA_FACTOR * math.sqrt(
+            ion_concentration / (solvent_dielectric * temperature)
+        )
+    e = 0.0
+    for i in range(n):
+        for j in range(n):
+            d2 = float(np.sum((pos[i] - pos[j]) ** 2))
+            bb = born[i] * born[j]
+            f = math.sqrt(d2 + bb * math.exp(-d2 / (4.0 * bb)))
+            if kappa > 0.0:
+                scr = math.exp(-kappa * f) / solvent_dielectric
+            else:
+                scr = 1.0 / solvent_dielectric
+            e += -0.5 * ELEC_FACTOR * (1.0 - scr) * q[i] * q[j] / f
+    return e
+
+
+def oracle_sasa(pos, ff):
+    """LCPO surface areas, explicit neighbor loops (Weiser eq. 1-3)."""
+    pos = np.asarray(pos, np.float64)
+    radii = np.asarray(ff.sasa_radii, np.float64)
+    p = np.asarray(ff.sasa_params, np.float64)
+    n = len(radii)
+
+    def a_pair(i, j):
+        d = float(np.linalg.norm(pos[i] - pos[j]))
+        ri, rj = radii[i], radii[j]
+        if radii[i] <= 0 or radii[j] <= 0:
+            return 0.0
+        if d >= ri + rj or d <= abs(ri - rj):
+            return 0.0
+        return 2.0 * math.pi * ri * (ri - d / 2.0 - (ri * ri - rj * rj) / (2.0 * d))
+
+    areas = np.zeros(n)
+    for i in range(n):
+        if radii[i] <= 0:
+            continue
+        nbrs = [j for j in range(n) if j != i and a_pair(i, j) != 0.0]
+        s1 = 4.0 * math.pi * radii[i] ** 2
+        t2 = sum(a_pair(i, j) for j in nbrs)
+        t3 = 0.0
+        t4 = 0.0
+        for j in nbrs:
+            inner = 0.0
+            for k in nbrs:
+                if k == j:
+                    continue
+                ajk = a_pair(j, k)
+                if ajk != 0.0:
+                    t3 += ajk
+                    inner += ajk
+            t4 += a_pair(i, j) * inner
+        areas[i] = max(
+            p[i, 0] * s1 + p[i, 1] * t2 + p[i, 2] * t3 + p[i, 3] * t4, 0.0
+        )
+    return areas
