@@ -70,7 +70,8 @@ class SimulationConfig:
     fused_campaign: bool = False
     #: constrain all bonds to hydrogen (NAMD rigidBonds all — the
     #: reference's data-generation protocol, gendirs_GBIS.py:66) via
-    #: SHAKE/RATTLE on the composed step path (not the fused campaign).
+    #: SHAKE/RATTLE: in-kernel matmul Jacobi sweeps on the fused campaign
+    #: path, vmapped projection steps on the composed path.
     constrain_h_bonds: bool = False
 
 
@@ -311,9 +312,6 @@ def simulate_ensemble(
         config.fused_campaign
         and config.integrator == "langevin"
         and not config.pbc
-        # SHAKE/RATTLE is not implemented inside the campaign kernel —
-        # honor the constraint request by falling back to the composed path
-        and not config.constrain_h_bonds
         # the campaign kernel covers exactly the default term set; GB/SASA
         # or reduced-term configs run on the composed XLA path
         and set(config.energy.terms) == set(DEFAULT_TERMS)
@@ -322,6 +320,17 @@ def simulate_ensemble(
         from molecular_dynamics_tpu.ops.fused_step import (
             make_fused_campaign_op,
         )
+
+        cons = None
+        if config.constrain_h_bonds:
+            # SHAKE/RATTLE runs inside the kernel (NAMD rigidBonds all,
+            # the reference's 2 fs data-generation protocol)
+            from molecular_dynamics_tpu.constraints import (
+                hydrogen_bond_constraints,
+            )
+
+            hb = hydrogen_bond_constraints(ff)
+            cons = hb if hb.n_constraints else None
 
         advance = make_fused_campaign_op(
             ff,
@@ -335,6 +344,7 @@ def simulate_ensemble(
             solvent_dielectric=config.energy.solvent_dielectric,
             include_ub=resolve_urey_bradley(config.energy, ff),
             bias=bias,
+            constraints=cons,
         )
 
         @jax.jit

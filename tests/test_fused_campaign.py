@@ -80,6 +80,102 @@ class TestFusedCampaign:
             np.asarray(f1), np.asarray(f_new), atol=0.15
         )
 
+    def test_constrained_step_matches_composed(self, full_system):
+        """In-kernel SHAKE/RATTLE vs constrained_langevin_step (T=0).
+
+        Same sweep counts on both sides -> the Jacobi fixed-point iterates
+        are identical up to f32 op order.
+        """
+        from molecular_dynamics_tpu.constraints import (
+            constrained_langevin_step,
+            hydrogen_bond_constraints,
+        )
+        from molecular_dynamics_tpu.integrate import initialize_forces
+        from molecular_dynamics_tpu.system import replicate, system_init
+
+        ff, pos = full_system
+        n = ff.n_atoms
+        cons = hydrogen_bond_constraints(ff)
+        assert cons.n_constraints > 0
+        adv = make_fused_campaign_op(
+            ff, n_inner=2, dt_fs=2.0, temperature=0.0, gamma_ps=1.0,
+            block_r=8, interpret=True,
+            constraints=cons, shake_iters=30, rattle_iters=15,
+        )
+        vel = maxwell_boltzmann(jax.random.PRNGKey(0), ff.masses, 300.0)
+        pot = lambda q: total_energy(q, ff, config=REFERENCE_CONFIG)
+        force = lambda p, b: -jax.grad(pot)(p)
+        R = 4
+        pos_b = jnp.broadcast_to(pos, (R, n, 3)).astype(jnp.float32)
+        vel_b = jnp.broadcast_to(vel, (R, n, 3)).astype(jnp.float32)
+        f0 = jax.vmap(lambda p: -jax.grad(pot)(p))(pos_b)
+        p1, v1, f1 = jax.jit(
+            lambda a, b, c: adv(a, b, c, jnp.int32(0), jnp.int32(1))
+        )(pos_b, vel_b, f0)
+
+        state = system_init(pos.astype(jnp.float32), key=jax.random.PRNGKey(2))
+        state = state.replace(vel=vel.astype(jnp.float32))
+        state = initialize_forces(state, force)
+        ens = replicate(state, R, seed=0)
+        ens = ens.replace(
+            pos=pos_b, vel=vel_b, forces=f0, key=ens.key
+        )
+        step = jax.jit(
+            jax.vmap(
+                lambda s: constrained_langevin_step(
+                    s, force, ff.masses, cons, dt_fs=2.0, T=0.0,
+                    gamma_ps=1.0, n_iter=30,
+                )
+            )
+        )
+        ref = step(step(ens))
+
+        np.testing.assert_allclose(
+            np.asarray(p1), np.asarray(ref.pos), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(v1), np.asarray(ref.vel), atol=5e-3
+        )
+
+        # constraint violations after the step: well under 1e-5 A
+        i, j = np.asarray(cons.pairs).T
+        d = np.linalg.norm(np.asarray(p1)[:, i] - np.asarray(p1)[:, j], axis=-1)
+        viol = np.abs(d - np.asarray(cons.lengths)[None, :])
+        assert viol.max() < 1e-5, f"max violation {viol.max():.2e} A"
+
+    def test_constrained_default_sweeps_converge(self, full_system):
+        """Production sweep counts (10/5) keep violations < 1e-6 A."""
+        from molecular_dynamics_tpu.constraints import (
+            hydrogen_bond_constraints,
+        )
+
+        ff, pos = full_system
+        n = ff.n_atoms
+        cons = hydrogen_bond_constraints(ff)
+        adv = make_fused_campaign_op(
+            ff, n_inner=5, dt_fs=2.0, temperature=0.0, gamma_ps=1.0,
+            block_r=8, interpret=True, constraints=cons,
+        )
+        vel = maxwell_boltzmann(jax.random.PRNGKey(0), ff.masses, 300.0)
+        pot = lambda q: total_energy(q, ff, config=REFERENCE_CONFIG)
+        R = 4
+        pos_b = jnp.broadcast_to(pos, (R, n, 3)).astype(jnp.float32)
+        vel_b = jnp.broadcast_to(vel, (R, n, 3)).astype(jnp.float32)
+        f0 = jax.vmap(lambda p: -jax.grad(pot)(p))(pos_b)
+        p1, v1, _ = jax.jit(
+            lambda a, b, c: adv(a, b, c, jnp.int32(0), jnp.int32(1))
+        )(pos_b, vel_b, f0)
+        i, j = np.asarray(cons.pairs).T
+        d = np.linalg.norm(np.asarray(p1)[:, i] - np.asarray(p1)[:, j], axis=-1)
+        viol = np.abs(d - np.asarray(cons.lengths)[None, :])
+        assert viol.max() < 1e-6, f"max violation {viol.max():.2e} A"
+        # RATTLE: along-bond relative velocity is projected out
+        dhat = (np.asarray(p1)[:, i] - np.asarray(p1)[:, j]) / d[..., None]
+        vrel = np.sum(
+            (np.asarray(v1)[:, i] - np.asarray(v1)[:, j]) * dhat, axis=-1
+        )
+        assert np.abs(vrel).max() < 1e-6
+
     def test_simulate_ensemble_campaign_path(self, full_system):
         """simulate_ensemble with fused_campaign=True (interpret, T=0)."""
         import dataclasses as _dc
@@ -116,3 +212,51 @@ class TestFusedCampaign:
         assert int(final.step[0]) == 20
         assert bool(jnp.all(jnp.isfinite(frames)))
         assert log["T"].shape == (2, 4)
+
+    def test_simulate_ensemble_campaign_constrained(self, full_system):
+        """fused_campaign + constrain_h_bonds runs the in-kernel SHAKE path
+        (the flagship NAMD protocol: rigidBonds all at 2 fs)."""
+        import molecular_dynamics_tpu.ops.fused_step as fs
+        from molecular_dynamics_tpu.constraints import (
+            hydrogen_bond_constraints,
+        )
+        from molecular_dynamics_tpu.integrate import initialize_forces
+        from molecular_dynamics_tpu.sim import SimulationConfig, simulate_ensemble
+        from molecular_dynamics_tpu.system import replicate
+
+        ff, pos = full_system
+        n = ff.n_atoms
+        force = lambda p, b: -jax.grad(
+            lambda q: total_energy(q, ff, config=REFERENCE_CONFIG)
+        )(p)
+        state = system_init(pos, key=jax.random.PRNGKey(1))
+        state = initialize_forces(state, force)
+        ens = replicate(state, 4, seed=3)
+
+        seen = {}
+        orig = fs.make_fused_campaign_op
+
+        def spy(*a, **k):
+            seen["constraints"] = k.get("constraints")
+            return orig(*a, **{**k, "interpret": True, "block_r": 8})
+
+        try:
+            fs.make_fused_campaign_op = spy
+            cfg = SimulationConfig(
+                dt_fs=2.0, temperature=0.0, fused_campaign=True,
+                constrain_h_bonds=True,
+            )
+            final, frames, log = simulate_ensemble(
+                ens, ff, n_steps=20, save_every=10, config=cfg
+            )
+        finally:
+            fs.make_fused_campaign_op = orig
+
+        assert seen["constraints"] is not None  # kernel path, not fallback
+        cons = hydrogen_bond_constraints(ff)
+        i, j = np.asarray(cons.pairs).T
+        p_last = np.asarray(frames[-1])
+        d = np.linalg.norm(p_last[:, i] - p_last[:, j], axis=-1)
+        viol = np.abs(d - np.asarray(cons.lengths)[None, :])
+        assert viol.max() < 1e-5
+        assert bool(jnp.all(jnp.isfinite(frames)))
