@@ -13,6 +13,7 @@ from molecular_dynamics_tpu.io.prmtop import read_prmtop, prmtop_to_ff_params
 from molecular_dynamics_tpu.io.dcd import read_dcd, write_dcd
 from molecular_dynamics_tpu.io.charmm_prm import CharmmPrm
 from molecular_dynamics_tpu.io.xsc import read_xsc
+from molecular_dynamics_tpu.io.xtc import read_xtc, write_xtc
 
 __all__ = [
     "read_psf",
@@ -26,4 +27,6 @@ __all__ = [
     "write_dcd",
     "CharmmPrm",
     "read_xsc",
+    "read_xtc",
+    "write_xtc",
 ]

@@ -36,12 +36,21 @@ def _try_build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    src = _NATIVE_DIR / "mdx_native.cpp"
+    try:
+        return src.stat().st_mtime > _LIB_PATH.stat().st_mtime
+    except OSError:
+        return False
+
+
 def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists() and not _try_build():
-        return None
+    if (not _LIB_PATH.exists() or _stale()) and not _try_build():
+        if not _LIB_PATH.exists():
+            return None
     lib = ctypes.CDLL(str(_LIB_PATH))
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     lib.mdx_dcd_write.argtypes = [
@@ -58,6 +67,7 @@ def _load():
         ctypes.c_char_p, f32p, ctypes.c_int64, ctypes.c_int64,
     ]
     lib.mdx_dcd_read.restype = ctypes.c_int
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     lib.mdx_xtc_write.argtypes = [
         ctypes.c_char_p, f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
     ]
@@ -67,9 +77,21 @@ def _load():
     ]
     lib.mdx_xtc_probe.restype = ctypes.c_int64
     lib.mdx_xtc_read.argtypes = [
-        ctypes.c_char_p, f32p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_char_p, f32p, ctypes.c_int64, ctypes.c_int64, i32p, f32p,
     ]
     lib.mdx_xtc_read.restype = ctypes.c_int
+    lib.mdx_mdxtc_write.argtypes = [
+        ctypes.c_char_p, f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
+    ]
+    lib.mdx_mdxtc_write.restype = ctypes.c_int
+    lib.mdx_mdxtc_probe.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.mdx_mdxtc_probe.restype = ctypes.c_int64
+    lib.mdx_mdxtc_read.argtypes = [
+        ctypes.c_char_p, f32p, ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.mdx_mdxtc_read.restype = ctypes.c_int
     lib.mdx_sink_open.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
     ]
@@ -117,8 +139,9 @@ def dcd_read(path: str) -> np.ndarray:
 
 
 def xtc_write(path: str, coords: np.ndarray, precision: float = 1000.0):
-    """Write a compressed trajectory (coords in Angstrom; precision in 1/nm
-    like GROMACS — 1000 keeps 0.001 nm = 0.01 A resolution)."""
+    """Write a real GROMACS .xtc (magic 1995, xdr3dfcoord compression —
+    readable by GROMACS/VMD/MDAnalysis). Coords in Angstrom (stored as nm);
+    precision in 1/nm like GROMACS — 1000 keeps 0.001 nm = 0.01 A."""
     coords = np.ascontiguousarray(coords, np.float32)
     if coords.ndim == 2:
         coords = coords[None]
@@ -130,16 +153,54 @@ def xtc_write(path: str, coords: np.ndarray, precision: float = 1000.0):
         raise IOError(f"mdx_xtc_write failed ({rc}) for {path}")
 
 
-def xtc_read(path: str) -> np.ndarray:
+def xtc_read(path: str, with_meta: bool = False):
+    """Read a GROMACS .xtc; returns (n_frames, N, 3) float32 Angstrom, or
+    (coords, steps, times_ps) with ``with_meta=True`` — the fields the
+    reference's libxtc reader surfaces (readers.py:1485-1531)."""
     lib = _load()
     n_frames = ctypes.c_int64()
     natoms = lib.mdx_xtc_probe(path.encode(), n_frames)
     if natoms < 0:
-        raise IOError(f"not an XTC file: {path}")
+        raise IOError(
+            f"not a GROMACS XTC file (magic 1995 not found): {path}"
+        )
     out = np.empty((n_frames.value, natoms, 3), np.float32)
-    rc = lib.mdx_xtc_read(path.encode(), out, n_frames.value, natoms)
+    steps = np.empty(n_frames.value, np.int32)
+    times = np.empty(n_frames.value, np.float32)
+    rc = lib.mdx_xtc_read(
+        path.encode(), out, n_frames.value, natoms, steps, times
+    )
     if rc != 0:
         raise IOError(f"mdx_xtc_read failed ({rc}) for {path}")
+    if with_meta:
+        return out, steps, times
+    return out
+
+
+def mdxtc_write(path: str, coords: np.ndarray, precision: float = 1000.0):
+    """Write mdx's own compressed trajectory format (magic 19950; smaller
+    header than XTC, NOT GROMACS-interoperable — use xtc_write for that)."""
+    coords = np.ascontiguousarray(coords, np.float32)
+    if coords.ndim == 2:
+        coords = coords[None]
+    rc = _load().mdx_mdxtc_write(
+        path.encode(), coords, coords.shape[0], coords.shape[1],
+        ctypes.c_float(precision),
+    )
+    if rc != 0:
+        raise IOError(f"mdx_mdxtc_write failed ({rc}) for {path}")
+
+
+def mdxtc_read(path: str) -> np.ndarray:
+    lib = _load()
+    n_frames = ctypes.c_int64()
+    natoms = lib.mdx_mdxtc_probe(path.encode(), n_frames)
+    if natoms < 0:
+        raise IOError(f"not an mdxtc file: {path}")
+    out = np.empty((n_frames.value, natoms, 3), np.float32)
+    rc = lib.mdx_mdxtc_read(path.encode(), out, n_frames.value, natoms)
+    if rc != 0:
+        raise IOError(f"mdx_mdxtc_read failed ({rc}) for {path}")
     return out
 
 

@@ -6,7 +6,10 @@
 // ABI consumed by ctypes (molecular_dynamics_tpu/io/native.py):
 //
 //  - DCD: bulk frame reader/writer (CHARMM format, little-endian)
-//  - XTC: GROMACS xdr3dfcoord compressed trajectory reader/writer
+//  - XTC: real GROMACS .xtc (magic 1995, xdr3dfcoord compression) reader
+//    and writer — bit-level interoperable with GROMACS/VMD/MDAnalysis
+//  - mdxtc: mdx's simpler own-format compressed trajectory (magic 19950),
+//    kept for files written by earlier versions
 //  - AsyncSink: background-thread trajectory writer so host I/O overlaps
 //    device compute during long campaigns
 //
@@ -138,12 +141,13 @@ int mdx_dcd_read(const char* path, float* out, int64_t n_frames,
 }
 
 // ---------------------------------------------------------------------------
-// mdxtc — compressed trajectory codec (XTC-style quantization)
+// mdxtc — mdx's own compressed trajectory codec (magic 19950)
 // ---------------------------------------------------------------------------
 // Big-endian XDR-style framing with GROMACS-style coordinate quantization
 // (nm * precision, default 0.001 nm resolution) and adaptive per-axis bit
-// packing. The payload packing is mdx's own (magic 19950), deliberately not
-// claiming GROMACS .xtc interop; DCD is the interop format.
+// packing. The payload packing is mdx's own (magic 19950) and is NOT
+// GROMACS-interoperable; real .xtc files use the xdr3dfcoord codec further
+// down (mdx_xtc_*).
 
 namespace xtc {
 
@@ -227,7 +231,7 @@ static float get_bef(const uint8_t* p) {
 
 // Write a compressed trajectory. coords in Angstrom (converted to nm like
 // GROMACS), precision in 1/nm (default 1000 = 0.001 nm).
-int mdx_xtc_write(const char* path, const float* coords, int64_t n_frames,
+int mdx_mdxtc_write(const char* path, const float* coords, int64_t n_frames,
                   int64_t n_atoms, float precision) {
   FILE* f = fopen(path, "wb");
   if (!f) return -1;
@@ -280,7 +284,7 @@ int mdx_xtc_write(const char* path, const float* coords, int64_t n_frames,
   return 0;
 }
 
-int64_t mdx_xtc_probe(const char* path, int64_t* n_frames) {
+int64_t mdx_mdxtc_probe(const char* path, int64_t* n_frames) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   int64_t natoms = -1, frames = 0;
@@ -302,7 +306,7 @@ int64_t mdx_xtc_probe(const char* path, int64_t* n_frames) {
   return natoms;
 }
 
-int mdx_xtc_read(const char* path, float* outc, int64_t n_frames,
+int mdx_mdxtc_read(const char* path, float* outc, int64_t n_frames,
                  int64_t n_atoms) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
@@ -333,6 +337,592 @@ int mdx_xtc_read(const char* path, float* outc, int64_t n_frames,
         int32_t qi = (int32_t)br.get(bits[d]) + minv[d];
         frame[a * 3 + d] = (float)qi * inv_prec;
       }
+  }
+  fclose(f);
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// XTC — real GROMACS trajectory format (magic 1995, xdr3dfcoord)
+// ---------------------------------------------------------------------------
+// Bit-level implementation of the public xdr3dfcoord compression scheme
+// (the format the reference reads through moleculekit's libxtc,
+// readers.py:1485-1531): coordinates quantized to precision (default
+// 1000/nm), frame-global min/max window, then per-atom either an absolute
+// multi-radix packed triple or a run of small deltas against the previous
+// atom using the magicints size ladder, with the water-pair swap and the
+// adaptive smallidx walk. Interoperable with GROMACS/VMD/MDAnalysis.
+
+namespace gmxxtc {
+
+static const int kMagic = 1995;
+
+static const int magicints[] = {
+    0,        0,        0,       0,       0,       0,       0,       0,
+    0,        8,        10,      12,      16,      20,      25,      32,
+    40,       50,       64,      80,      101,     128,     161,     203,
+    256,      322,      406,     512,     645,     812,     1024,    1290,
+    1625,     2048,     2580,    3250,    4096,    5060,    6501,    8192,
+    10321,    13003,    16384,   20642,   26007,   32768,   41285,   52015,
+    65536,    82570,    104031,  131072,  165140,  208063,  262144,  330280,
+    416127,   524287,   660561,  832255,  1048576, 1321122, 1664510, 2097152,
+    2642245,  3329021,  4194304, 5284491, 6658042, 8388607, 10568983,
+    13316085, 16777216};
+
+static const int FIRSTIDX = 9;
+static const int LASTIDX = (int)(sizeof(magicints) / sizeof(int));
+static const float kMaxFloat = (float)(INT32_MAX - 2);
+
+static int sizeofint(int size) {
+  int num = 1, bits = 0;
+  while (size >= num && bits < 32) {
+    bits++;
+    num <<= 1;
+  }
+  return bits;
+}
+
+// bits needed for the multi-radix packed representation of num_of_ints
+// values with the given ranges
+static int sizeofints(int num_of_ints, const unsigned int sizes[]) {
+  unsigned int bytes[32];
+  unsigned int num_of_bytes = 1, bytecnt, tmp;
+  bytes[0] = 1;
+  int num_of_bits = 0;
+  for (int i = 0; i < num_of_ints; i++) {
+    tmp = 0;
+    for (bytecnt = 0; bytecnt < num_of_bytes; bytecnt++) {
+      tmp = bytes[bytecnt] * sizes[i] + tmp;
+      bytes[bytecnt] = tmp & 0xff;
+      tmp >>= 8;
+    }
+    while (tmp != 0) {
+      bytes[bytecnt++] = tmp & 0xff;
+      tmp >>= 8;
+    }
+    num_of_bytes = bytecnt;
+  }
+  int num = 1;
+  num_of_bytes--;
+  while (bytes[num_of_bytes] >= (unsigned int)num) {
+    num_of_bits++;
+    num *= 2;
+  }
+  return num_of_bits + (int)num_of_bytes * 8;
+}
+
+// MSB-first bit sink with the XDR state machine (byte count, pending bits).
+struct BitSink {
+  std::vector<unsigned char> bytes;
+  unsigned int cnt = 0;
+  int lastbits = 0;
+  unsigned int lastbyte = 0;
+
+  void reserve_for(int nbits) {
+    size_t need = (size_t)cnt + (size_t)(nbits / 8) + 8;
+    if (bytes.size() < need) bytes.resize(need + 64);
+  }
+  void sendbits(int nbits, unsigned int num) {
+    reserve_for(nbits);
+    while (nbits >= 8) {
+      lastbyte = (lastbyte << 8) | ((num >> (nbits - 8)) & 0xff);
+      bytes[cnt++] = (unsigned char)(lastbyte >> lastbits);
+      nbits -= 8;
+    }
+    if (nbits > 0) {
+      lastbyte = (lastbyte << nbits) | (num & ((1u << nbits) - 1));
+      lastbits += nbits;
+      if (lastbits >= 8) {
+        lastbits -= 8;
+        bytes[cnt++] = (unsigned char)(lastbyte >> lastbits);
+      }
+    }
+  }
+  void sendints(int num_of_ints, int num_of_bits,
+                const unsigned int sizes[], const unsigned int nums[]) {
+    unsigned int bytes_[32], tmp;
+    int num_of_bytes = 0, bytecnt, i;
+    tmp = nums[0];
+    do {
+      bytes_[num_of_bytes++] = tmp & 0xff;
+      tmp >>= 8;
+    } while (tmp != 0);
+    for (i = 1; i < num_of_ints; i++) {
+      tmp = nums[i];
+      for (bytecnt = 0; bytecnt < num_of_bytes; bytecnt++) {
+        tmp = bytes_[bytecnt] * sizes[i] + tmp;
+        bytes_[bytecnt] = tmp & 0xff;
+        tmp >>= 8;
+      }
+      while (tmp != 0) {
+        bytes_[bytecnt++] = tmp & 0xff;
+        tmp >>= 8;
+      }
+      num_of_bytes = bytecnt;
+    }
+    if (num_of_bits >= num_of_bytes * 8) {
+      for (i = 0; i < num_of_bytes; i++) sendbits(8, bytes_[i]);
+      sendbits(num_of_bits - num_of_bytes * 8, 0);
+    } else {
+      for (i = 0; i < num_of_bytes - 1; i++) sendbits(8, bytes_[i]);
+      sendbits(num_of_bits - (num_of_bytes - 1) * 8, bytes_[i]);
+    }
+  }
+  // final byte count (flushes the pending partial byte)
+  unsigned int finish() {
+    if (lastbits > 0) {
+      reserve_for(8);
+      bytes[cnt++] = (unsigned char)(lastbyte << (8 - lastbits));
+      lastbits = 0;
+    }
+    return cnt;
+  }
+};
+
+struct BitSource {
+  const unsigned char* p;
+  size_t size;
+  unsigned int cnt = 0;
+  int lastbits = 0;
+  unsigned int lastbyte = 0;
+  BitSource(const unsigned char* ptr, size_t sz) : p(ptr), size(sz) {}
+
+  unsigned char next() { return cnt < size ? p[cnt++] : (cnt++, 0); }
+
+  int receivebits(int nbits) {
+    int num = 0;
+    unsigned int mask = (nbits < 32) ? ((1u << nbits) - 1) : 0xffffffffu;
+    while (nbits >= 8) {
+      lastbyte = (lastbyte << 8) | next();
+      num |= (int)((lastbyte >> lastbits) << (nbits - 8));
+      nbits -= 8;
+    }
+    if (nbits > 0) {
+      if (lastbits < nbits) {
+        lastbits += 8;
+        lastbyte = (lastbyte << 8) | next();
+      }
+      lastbits -= nbits;
+      num |= (int)((lastbyte >> lastbits) & ((1u << nbits) - 1));
+    }
+    num = (int)((unsigned int)num & mask);
+    return num;
+  }
+  void receiveints(int num_of_ints, int num_of_bits,
+                   const unsigned int sizes[], int nums[]) {
+    int bytes_[32];
+    int i, j, num_of_bytes = 0;
+    bytes_[0] = bytes_[1] = bytes_[2] = bytes_[3] = 0;
+    while (num_of_bits > 8) {
+      bytes_[num_of_bytes++] = receivebits(8);
+      num_of_bits -= 8;
+    }
+    if (num_of_bits > 0) bytes_[num_of_bytes++] = receivebits(num_of_bits);
+    for (i = num_of_ints - 1; i > 0; i--) {
+      int num = 0;
+      for (j = num_of_bytes - 1; j >= 0; j--) {
+        num = (num << 8) | bytes_[j];
+        int q = num / (int)sizes[i];
+        bytes_[j] = q;
+        num = num - q * (int)sizes[i];
+      }
+      nums[i] = num;
+    }
+    nums[0] = bytes_[0] | (bytes_[1] << 8) | (bytes_[2] << 16) |
+              (bytes_[3] << 24);
+  }
+};
+
+}  // namespace gmxxtc
+
+// Compress one frame's coordinates (nm, natoms*3 floats) into `out`
+// starting after the caller-written header. Returns 0 or negative error.
+static int xtc_compress_frame(std::vector<uint8_t>& out, const float* fp,
+                              int size, float precision) {
+  using namespace gmxxtc;
+  const int size3 = size * 3;
+  if (size <= 9) {
+    // tiny systems are stored as plain floats (no compression)
+    for (int i = 0; i < size3; ++i) put_bef(out, fp[i]);
+    return 0;
+  }
+  put_bef(out, precision);
+  std::vector<int> lip((size_t)size3);
+  int minint[3] = {INT32_MAX, INT32_MAX, INT32_MAX};
+  int maxint[3] = {INT32_MIN, INT32_MIN, INT32_MIN};
+  int mindiff = INT32_MAX;
+  int oldlint[3] = {0, 0, 0};
+  for (int i = 0; i < size; ++i) {
+    int lint[3];
+    for (int d = 0; d < 3; ++d) {
+      float x = fp[i * 3 + d];
+      float lf = (x >= 0.0f) ? x * precision + 0.5f : x * precision - 0.5f;
+      if (lf > kMaxFloat || lf < -kMaxFloat) return -4;  // overflow
+      lint[d] = (int)lf;
+      if (lint[d] < minint[d]) minint[d] = lint[d];
+      if (lint[d] > maxint[d]) maxint[d] = lint[d];
+      lip[(size_t)(i * 3 + d)] = lint[d];
+    }
+    int diff = abs(oldlint[0] - lint[0]) + abs(oldlint[1] - lint[1]) +
+               abs(oldlint[2] - lint[2]);
+    if (diff < mindiff && i > 0) mindiff = diff;
+    oldlint[0] = lint[0];
+    oldlint[1] = lint[1];
+    oldlint[2] = lint[2];
+  }
+  for (int d = 0; d < 3; ++d) put_be32(out, (uint32_t)minint[d]);
+  for (int d = 0; d < 3; ++d) put_be32(out, (uint32_t)maxint[d]);
+  if ((float)maxint[0] - (float)minint[0] >= kMaxFloat ||
+      (float)maxint[1] - (float)minint[1] >= kMaxFloat ||
+      (float)maxint[2] - (float)minint[2] >= kMaxFloat)
+    return -4;
+  unsigned int sizeint[3], bitsizeint[3] = {0, 0, 0};
+  for (int d = 0; d < 3; ++d)
+    sizeint[d] = (unsigned int)(maxint[d] - minint[d] + 1);
+  int bitsize;
+  if ((sizeint[0] | sizeint[1] | sizeint[2]) > 0xffffffu) {
+    bitsizeint[0] = (unsigned int)sizeofint((int)sizeint[0]);
+    bitsizeint[1] = (unsigned int)sizeofint((int)sizeint[1]);
+    bitsizeint[2] = (unsigned int)sizeofint((int)sizeint[2]);
+    bitsize = 0;  // flag: use large per-axis sizes
+  } else {
+    bitsize = sizeofints(3, sizeint);
+  }
+  int smallidx = FIRSTIDX;
+  while (smallidx < LASTIDX - 1 && magicints[smallidx] < mindiff) smallidx++;
+  put_be32(out, (uint32_t)smallidx);
+
+  int maxidx = (LASTIDX < smallidx + 8) ? LASTIDX : smallidx + 8;
+  int minidx = maxidx - 8;
+  int smaller = magicints[(FIRSTIDX > smallidx - 1) ? FIRSTIDX
+                                                    : smallidx - 1] / 2;
+  int smallnum = magicints[smallidx] / 2;
+  unsigned int sizesmall[3];
+  sizesmall[0] = sizesmall[1] = sizesmall[2] =
+      (unsigned int)magicints[smallidx];
+  int larger = magicints[maxidx] / 2;
+
+  BitSink sink;
+  sink.bytes.resize((size_t)size3 * 4 + 64);
+  int prevcoord[3] = {0, 0, 0};
+  unsigned int tmpcoord[30];
+  int i = 0, prevrun = -1;
+  while (i < size) {
+    int is_small = 0;
+    int* thiscoord = lip.data() + (size_t)i * 3;
+    int is_smaller;
+    if (smallidx < maxidx && i >= 1 &&
+        abs(thiscoord[0] - prevcoord[0]) < larger &&
+        abs(thiscoord[1] - prevcoord[1]) < larger &&
+        abs(thiscoord[2] - prevcoord[2]) < larger) {
+      is_smaller = 1;
+    } else if (smallidx > minidx) {
+      is_smaller = -1;
+    } else {
+      is_smaller = 0;
+    }
+    if (i + 1 < size) {
+      if (abs(thiscoord[0] - thiscoord[3]) < smallnum &&
+          abs(thiscoord[1] - thiscoord[4]) < smallnum &&
+          abs(thiscoord[2] - thiscoord[5]) < smallnum) {
+        // swap atoms for better compression of bonded pairs (water trick)
+        int t;
+        t = thiscoord[0]; thiscoord[0] = thiscoord[3]; thiscoord[3] = t;
+        t = thiscoord[1]; thiscoord[1] = thiscoord[4]; thiscoord[4] = t;
+        t = thiscoord[2]; thiscoord[2] = thiscoord[5]; thiscoord[5] = t;
+        is_small = 1;
+      }
+    }
+    tmpcoord[0] = (unsigned int)(thiscoord[0] - minint[0]);
+    tmpcoord[1] = (unsigned int)(thiscoord[1] - minint[1]);
+    tmpcoord[2] = (unsigned int)(thiscoord[2] - minint[2]);
+    if (bitsize == 0) {
+      sink.sendbits((int)bitsizeint[0], tmpcoord[0]);
+      sink.sendbits((int)bitsizeint[1], tmpcoord[1]);
+      sink.sendbits((int)bitsizeint[2], tmpcoord[2]);
+    } else {
+      sink.sendints(3, bitsize, sizeint, tmpcoord);
+    }
+    prevcoord[0] = thiscoord[0];
+    prevcoord[1] = thiscoord[1];
+    prevcoord[2] = thiscoord[2];
+    thiscoord = thiscoord + 3;
+    i++;
+
+    int run = 0;
+    if (is_small == 0 && is_smaller == -1) is_smaller = 0;
+    while (is_small && run < 8 * 3) {
+      long long dx = thiscoord[0] - prevcoord[0];
+      long long dy = thiscoord[1] - prevcoord[1];
+      long long dz = thiscoord[2] - prevcoord[2];
+      if (is_smaller == -1 &&
+          dx * dx + dy * dy + dz * dz >= (long long)smaller * smaller) {
+        is_smaller = 0;
+      }
+      tmpcoord[run++] = (unsigned int)(thiscoord[0] - prevcoord[0] + smallnum);
+      tmpcoord[run++] = (unsigned int)(thiscoord[1] - prevcoord[1] + smallnum);
+      tmpcoord[run++] = (unsigned int)(thiscoord[2] - prevcoord[2] + smallnum);
+      prevcoord[0] = thiscoord[0];
+      prevcoord[1] = thiscoord[1];
+      prevcoord[2] = thiscoord[2];
+      i++;
+      thiscoord = thiscoord + 3;
+      is_small = 0;
+      if (i < size && abs(thiscoord[0] - prevcoord[0]) < smallnum &&
+          abs(thiscoord[1] - prevcoord[1]) < smallnum &&
+          abs(thiscoord[2] - prevcoord[2]) < smallnum) {
+        is_small = 1;
+      }
+    }
+    if (run != prevrun || is_smaller != 0) {
+      prevrun = run;
+      sink.sendbits(1, 1);  // flag the run-length change
+      sink.sendbits(5, (unsigned int)(run + is_smaller + 1));
+    } else {
+      sink.sendbits(1, 0);
+    }
+    for (int k = 0; k < run; k += 3) {
+      sink.sendints(3, smallidx, sizesmall, &tmpcoord[k]);
+    }
+    if (is_smaller != 0) {
+      smallidx += is_smaller;
+      if (is_smaller < 0) {
+        smallnum = smaller;
+        smaller = magicints[smallidx - 1] / 2;
+      } else {
+        smaller = smallnum;
+        smallnum = magicints[smallidx] / 2;
+      }
+      sizesmall[0] = sizesmall[1] = sizesmall[2] =
+          (unsigned int)magicints[smallidx];
+    }
+  }
+  unsigned int nbytes = sink.finish();
+  put_be32(out, nbytes);
+  out.insert(out.end(), sink.bytes.begin(), sink.bytes.begin() + nbytes);
+  while (out.size() % 4) out.push_back(0);  // XDR opaque padding
+  return 0;
+}
+
+// Decompress one frame's payload (after precision field) into fp (nm).
+// `data` points at the minint field; consumed length via *consumed.
+static int xtc_decompress_frame(const uint8_t* data, size_t avail, int size,
+                                float precision, float* fp,
+                                size_t* consumed) {
+  using namespace gmxxtc;
+  if (avail < 28) return -2;
+  int minint[3], maxint[3];
+  for (int d = 0; d < 3; ++d) minint[d] = (int)get_be32(data + 4 * d);
+  for (int d = 0; d < 3; ++d) maxint[d] = (int)get_be32(data + 12 + 4 * d);
+  int smallidx = (int)get_be32(data + 24);
+  if (smallidx < FIRSTIDX || smallidx >= LASTIDX) return -3;
+  unsigned int sizeint[3], bitsizeint[3] = {0, 0, 0};
+  for (int d = 0; d < 3; ++d)
+    sizeint[d] = (unsigned int)(maxint[d] - minint[d] + 1);
+  int bitsize;
+  if ((sizeint[0] | sizeint[1] | sizeint[2]) > 0xffffffu) {
+    bitsizeint[0] = (unsigned int)sizeofint((int)sizeint[0]);
+    bitsizeint[1] = (unsigned int)sizeofint((int)sizeint[1]);
+    bitsizeint[2] = (unsigned int)sizeofint((int)sizeint[2]);
+    bitsize = 0;
+  } else {
+    bitsize = sizeofints(3, sizeint);
+  }
+  int tmpidx = (FIRSTIDX > smallidx - 1) ? FIRSTIDX : smallidx - 1;
+  int smaller = magicints[tmpidx] / 2;
+  int smallnum = magicints[smallidx] / 2;
+  unsigned int sizesmall[3];
+  sizesmall[0] = sizesmall[1] = sizesmall[2] =
+      (unsigned int)magicints[smallidx];
+
+  if (avail < 32) return -2;
+  unsigned int nbytes = get_be32(data + 28);
+  unsigned int padded = (nbytes + 3u) & ~3u;
+  if (avail < 32 + padded) return -2;
+  BitSource src(data + 32, nbytes);
+  *consumed = 32 + padded;
+
+  float inv_precision = 1.0f / precision;
+  std::vector<int> lip((size_t)size * 3 + 3);
+  int prevcoord[3] = {0, 0, 0};
+  int i = 0, run = 0;
+  float* lfp = fp;
+  while (i < size) {
+    int* thiscoord = lip.data() + (size_t)i * 3;
+    if (bitsize == 0) {
+      thiscoord[0] = src.receivebits((int)bitsizeint[0]);
+      thiscoord[1] = src.receivebits((int)bitsizeint[1]);
+      thiscoord[2] = src.receivebits((int)bitsizeint[2]);
+    } else {
+      src.receiveints(3, bitsize, sizeint, thiscoord);
+    }
+    i++;
+    thiscoord[0] += minint[0];
+    thiscoord[1] += minint[1];
+    thiscoord[2] += minint[2];
+    prevcoord[0] = thiscoord[0];
+    prevcoord[1] = thiscoord[1];
+    prevcoord[2] = thiscoord[2];
+
+    int flag = src.receivebits(1);
+    int is_smaller = 0;
+    if (flag == 1) {
+      run = src.receivebits(5);
+      is_smaller = run % 3;
+      run -= is_smaller;
+      is_smaller--;
+    }
+    if (run > 0) {
+      thiscoord += 3;
+      for (int k = 0; k < run; k += 3) {
+        src.receiveints(3, smallidx, sizesmall, thiscoord);
+        i++;
+        thiscoord[0] += prevcoord[0] - smallnum;
+        thiscoord[1] += prevcoord[1] - smallnum;
+        thiscoord[2] += prevcoord[2] - smallnum;
+        if (k == 0) {
+          // undo the bonded-pair swap: emit the later atom first
+          int t;
+          t = thiscoord[0]; thiscoord[0] = prevcoord[0]; prevcoord[0] = t;
+          t = thiscoord[1]; thiscoord[1] = prevcoord[1]; prevcoord[1] = t;
+          t = thiscoord[2]; thiscoord[2] = prevcoord[2]; prevcoord[2] = t;
+          *lfp++ = (float)prevcoord[0] * inv_precision;
+          *lfp++ = (float)prevcoord[1] * inv_precision;
+          *lfp++ = (float)prevcoord[2] * inv_precision;
+        } else {
+          prevcoord[0] = thiscoord[0];
+          prevcoord[1] = thiscoord[1];
+          prevcoord[2] = thiscoord[2];
+        }
+        *lfp++ = (float)thiscoord[0] * inv_precision;
+        *lfp++ = (float)thiscoord[1] * inv_precision;
+        *lfp++ = (float)thiscoord[2] * inv_precision;
+      }
+    } else {
+      *lfp++ = (float)thiscoord[0] * inv_precision;
+      *lfp++ = (float)thiscoord[1] * inv_precision;
+      *lfp++ = (float)thiscoord[2] * inv_precision;
+    }
+    smallidx += is_smaller;
+    if (is_smaller < 0) {
+      smallnum = smaller;
+      if (smallidx > FIRSTIDX) smaller = magicints[smallidx - 1] / 2;
+      else smaller = 0;
+    } else if (is_smaller > 0) {
+      smaller = smallnum;
+      smallnum = magicints[smallidx] / 2;
+    }
+    sizesmall[0] = sizesmall[1] = sizesmall[2] =
+        (unsigned int)magicints[smallidx];
+    if (sizesmall[0] == 0) return -3;
+  }
+  return 0;
+}
+
+// Write a real GROMACS .xtc: coords in Angstrom (stored as nm, the GROMACS
+// unit), precision in 1/nm (1000 = 0.001 nm), zero box (vacuum systems).
+int mdx_xtc_write(const char* path, const float* coords, int64_t n_frames,
+                  int64_t n_atoms, float precision) {
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  std::vector<float> nm((size_t)n_atoms * 3);
+  for (int64_t fr = 0; fr < n_frames; ++fr) {
+    const float* frame = coords + fr * n_atoms * 3;
+    for (int64_t k = 0; k < n_atoms * 3; ++k) nm[(size_t)k] = frame[k] * 0.1f;
+    std::vector<uint8_t> out;
+    out.reserve((size_t)n_atoms * 4 + 128);
+    put_be32(out, (uint32_t)gmxxtc::kMagic);
+    put_be32(out, (uint32_t)n_atoms);
+    put_be32(out, (uint32_t)fr);  // step
+    put_bef(out, (float)fr);      // time (ps)
+    for (int b = 0; b < 9; ++b) put_bef(out, 0.0f);  // box (nm)
+    put_be32(out, (uint32_t)n_atoms);  // lsize
+    int rc = xtc_compress_frame(out, nm.data(), (int)n_atoms, precision);
+    if (rc != 0) { fclose(f); return rc; }
+    if (fwrite(out.data(), 1, out.size(), f) != out.size()) {
+      fclose(f);
+      return -1;
+    }
+  }
+  fclose(f);
+  return 0;
+}
+
+// Probe: returns n_atoms (or negative error), sets *n_frames.
+int64_t mdx_xtc_probe(const char* path, int64_t* n_frames) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  int64_t natoms = -1, frames = 0;
+  uint8_t hdr[56];
+  while (fread(hdr, 1, 56, f) == 56) {
+    if (get_be32(hdr) != (uint32_t)gmxxtc::kMagic) break;
+    int64_t na = get_be32(hdr + 4);
+    int lsize = (int)get_be32(hdr + 52);
+    if (natoms < 0) natoms = na;
+    if (lsize <= 9) {
+      if (fseek(f, (long)(lsize * 3 * 4), SEEK_CUR) != 0) break;
+    } else {
+      // precision(4) + minint(12) + maxint(12) + smallidx(4) = 32, then
+      // nbytes(4) + padded payload
+      uint8_t sub[36];
+      if (fread(sub, 1, 36, f) != 36) break;
+      uint32_t nbytes = get_be32(sub + 32);
+      uint32_t padded = (nbytes + 3u) & ~3u;
+      if (fseek(f, (long)padded, SEEK_CUR) != 0) break;
+    }
+    frames++;
+  }
+  *n_frames = frames;
+  fclose(f);
+  return frames > 0 ? natoms : -1;
+}
+
+// Read all frames into out (n_frames, n_atoms, 3) float32 Angstrom.
+// Also fills step[] and time_ps[] when non-null.
+int mdx_xtc_read(const char* path, float* outc, int64_t n_frames,
+                 int64_t n_atoms, int32_t* steps, float* times) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  std::vector<float> nm((size_t)n_atoms * 3);
+  std::vector<uint8_t> buf;
+  for (int64_t fr = 0; fr < n_frames; ++fr) {
+    uint8_t hdr[56];
+    if (fread(hdr, 1, 56, f) != 56) { fclose(f); return -2; }
+    if (get_be32(hdr) != (uint32_t)gmxxtc::kMagic) { fclose(f); return -3; }
+    if ((int64_t)get_be32(hdr + 4) != n_atoms) { fclose(f); return -3; }
+    if (steps) steps[fr] = (int32_t)get_be32(hdr + 8);
+    if (times) times[fr] = get_bef(hdr + 12);
+    int lsize = (int)get_be32(hdr + 52);
+    float* frame = outc + fr * n_atoms * 3;
+    if (lsize <= 9) {
+      for (int k = 0; k < lsize * 3; ++k) {
+        uint8_t fb[4];
+        if (fread(fb, 1, 4, f) != 4) { fclose(f); return -2; }
+        nm[(size_t)k] = get_bef(fb);
+      }
+    } else {
+      uint8_t pre[4];
+      if (fread(pre, 1, 4, f) != 4) { fclose(f); return -2; }
+      float precision = get_bef(pre);
+      // read the rest of the frame: minint/maxint/smallidx (28) + nbytes
+      // (4) + padded payload — peek the fixed part first
+      uint8_t fixed[32];
+      if (fread(fixed, 1, 32, f) != 32) { fclose(f); return -2; }
+      uint32_t nbytes = get_be32(fixed + 28);
+      uint32_t padded = (nbytes + 3u) & ~3u;
+      buf.resize(32 + padded);
+      memcpy(buf.data(), fixed, 32);
+      if (fread(buf.data() + 32, 1, padded, f) != padded) {
+        fclose(f);
+        return -2;
+      }
+      size_t consumed = 0;
+      int rc = xtc_decompress_frame(buf.data(), buf.size(), (int)n_atoms,
+                                    precision, nm.data(), &consumed);
+      if (rc != 0) { fclose(f); return rc; }
+    }
+    for (int64_t k = 0; k < n_atoms * 3; ++k)
+      frame[k] = nm[(size_t)k] * 10.0f;  // nm -> Angstrom
   }
   fclose(f);
   return 0;
