@@ -16,8 +16,30 @@ import sys
 import time
 
 
+def _meta_topology(ff, meta):
+    """Minimal Topology from an npz example's metadata (name/residue tables
+    for feature extraction, e.g. φ/ψ index tables)."""
+    import numpy as np
+
+    from molecular_dynamics_tpu.topology import Topology
+
+    return Topology(
+        atom_types=np.asarray(meta["atom_types"]),
+        atom_names=np.asarray(meta["atom_names"]),
+        res_names=np.asarray(meta["res_names"]),
+        res_ids=np.asarray(meta["res_ids"], np.int64),
+        charges=np.asarray(ff.charges, np.float64),
+        masses=np.asarray(ff.masses, np.float64),
+        bonds=np.asarray(ff.bonds, np.int64),
+        angles=np.asarray(ff.angles, np.int64),
+        dihedrals=np.asarray(ff.dihedrals, np.int64),
+        impropers=np.asarray(ff.impropers, np.int64),
+    )
+
+
 def _load_system(topology: str, parameters: str, dtype=None):
-    """Resolve a (topology, parameters) pair to (FFParams, coords, names)."""
+    """Resolve a (topology, parameters) pair to
+    (FFParams, coords, names, Topology)."""
     import numpy as np
     import jax.numpy as jnp
 
@@ -31,17 +53,17 @@ def _load_system(topology: str, parameters: str, dtype=None):
 
         top, coords = decaalanine_backbone()
         ff = build_ff_params(top, YamlForceField(BACKBONE_FF_PRM), dtype=dtype)
-        return ff, np.asarray(coords), np.asarray(top.atom_names)
+        return ff, np.asarray(coords), np.asarray(top.atom_names), top
     if topology == "example:full":
         from molecular_dynamics_tpu.examples import decaalanine_full
 
         ff, coords, meta = decaalanine_full(dtype=dtype)
-        return ff, np.asarray(coords), meta["atom_names"]
+        return ff, np.asarray(coords), meta["atom_names"], _meta_topology(ff, meta)
     if topology == "example:diala":
         from molecular_dynamics_tpu.examples import dialanine
 
         ff, coords, meta = dialanine(dtype=dtype)
-        return ff, np.asarray(coords), meta["atom_names"]
+        return ff, np.asarray(coords), meta["atom_names"], _meta_topology(ff, meta)
 
     if topology.endswith(".prmtop"):
         from molecular_dynamics_tpu.io import prmtop_to_ff_params, read_prmtop
@@ -49,13 +71,13 @@ def _load_system(topology: str, parameters: str, dtype=None):
         ff = prmtop_to_ff_params(topology, dtype=dtype)
         top, _ = read_prmtop(topology)
         coords = top.coords
-        return ff, coords, np.asarray(top.atom_names)
+        return ff, coords, np.asarray(top.atom_names), top
 
     from molecular_dynamics_tpu.io import read_psf
 
     top = read_psf(topology)
     ff = build_ff_params(top, YamlForceField(parameters), dtype=dtype)
-    return ff, top.coords, np.asarray(top.atom_names)
+    return ff, top.coords, np.asarray(top.atom_names), top
 
 
 def cmd_simulate(args) -> int:
@@ -85,7 +107,7 @@ def cmd_simulate(args) -> int:
     cfg = apply_overrides(cfg, args.override or [])
     os.makedirs(cfg.out_dir, exist_ok=True)
 
-    ff, coords, names = _load_system(cfg.topology, cfg.parameters)
+    ff, coords, names, _ = _load_system(cfg.topology, cfg.parameters)
     if coords is None:
         print("topology carries no coordinates; provide a pdb", file=sys.stderr)
         return 2
@@ -169,7 +191,7 @@ def cmd_energy(args) -> int:
 
     from molecular_dynamics_tpu.energy import REFERENCE_CONFIG, energy_terms
 
-    ff, coords, _ = _load_system(args.topology, args.parameters)
+    ff, coords, _, _ = _load_system(args.topology, args.parameters)
     if args.frames:
         frames = np.load(args.frames)
     elif coords is None:
@@ -216,10 +238,14 @@ def cmd_convert(args) -> int:
         frames, _ = read_dcd(args.input)
     elif args.input.endswith(".xyz"):
         frames = read_xyz(args.input)
-    elif args.input.endswith((".xtc", ".mdxtc")):
+    elif args.input.endswith(".xtc"):
+        from molecular_dynamics_tpu.io import read_xtc
+
+        frames = read_xtc(args.input)
+    elif args.input.endswith(".mdxtc"):
         from molecular_dynamics_tpu.io import native
 
-        frames = native.xtc_read(args.input)
+        frames = native.mdxtc_read(args.input)
     else:
         frames = np.load(args.input)
 
@@ -287,7 +313,7 @@ def main(argv=None) -> int:
     p_tr = sub.add_parser("train", help="train a model family")
     p_tr.add_argument("family", choices=[
         "pretrain", "cgan", "hnn", "lstm", "lstm-nll", "seq2seq", "flow",
-        "vae", "transformer", "gat",
+        "vae", "transformer", "gat", "sde", "node",
     ])
     p_tr.add_argument("--data", default="", help="npy glob of trajectories")
     p_tr.add_argument("--topology", default="example:backbone")

@@ -55,6 +55,34 @@ def compare_e2e(
     }
 
 
+def marginal_histograms(
+    generated: np.ndarray, data: np.ndarray, n_bins: int = 32
+) -> Dict[str, float]:
+    """Per-feature marginal distribution discrepancy between two path sets.
+
+    The SDE-GAN's evaluation compares histograms of generated vs real
+    marginals (TorchSDE/torchsde_v2/sde.py:207-254). Accepts paths
+    ``(B, T, D)`` or samples ``(B, D)``; returns the mean/max total-variation
+    distance over the D feature marginals (0 = identical, 1 = disjoint).
+    """
+    g = np.asarray(generated).reshape(-1, np.shape(generated)[-1])
+    d = np.asarray(data).reshape(-1, np.shape(data)[-1])
+    k = min(g.shape[-1], d.shape[-1])
+    tvs = np.empty(k)
+    for f in range(k):
+        lo = min(g[:, f].min(), d[:, f].min())
+        hi = max(g[:, f].max(), d[:, f].max()) + 1e-12
+        hg, _ = np.histogram(g[:, f], bins=n_bins, range=(lo, hi))
+        hd, _ = np.histogram(d[:, f], bins=n_bins, range=(lo, hi))
+        hg = hg / max(hg.sum(), 1)
+        hd = hd / max(hd.sum(), 1)
+        tvs[f] = 0.5 * np.abs(hg - hd).sum()
+    return {
+        "marginal_tv_mean": float(tvs.mean()),
+        "marginal_tv_max": float(tvs.max()),
+    }
+
+
 def radius_of_gyration(frames: np.ndarray, masses=None) -> np.ndarray:
     """Mass-weighted radius of gyration per frame, (n_frames,)."""
     frames = jnp.asarray(frames)

@@ -95,7 +95,7 @@ def run_training(
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
 
-    ff, coords, names = _load_system(topology, parameters)
+    ff, coords, names, top = _load_system(topology, parameters)
     if data:
         traj = TrajectoryData.from_npy_glob(data)
     else:
@@ -123,6 +123,7 @@ def run_training(
         curves=curves,
         out_dir=out_dir,
         names=names,
+        top=top,
     )
     plot_losses(os.path.join(out_dir, "loss.png"), curves, title=family)
     logger.close()
@@ -151,6 +152,31 @@ def _export_xyz(path, coords_batch, names):
     write_xyz(path, np.asarray(coords_batch), symbols=[str(n) for n in names])
 
 
+def _eval_generated(out_dir, family, generated, traj, extra=None):
+    """Score a generated ensemble against the training data and persist it.
+
+    Every reference experiment ships a test.py evaluator comparing generated
+    end-to-end distances to the data along the reaction coordinate
+    (GAN_V12.3.1_Potential_Hierarchy/test.py:31-55); this is that check as a
+    standard driver epilogue. Writes ``eval.json`` in the run directory.
+    """
+    import json
+
+    from molecular_dynamics_tpu.evaluate import compare_e2e
+
+    data_frames, _ = traj.stacked()
+    metrics = compare_e2e(np.asarray(generated), np.asarray(data_frames))
+    if extra:
+        metrics.update(extra)
+    with open(os.path.join(out_dir, "eval.json"), "w") as f:
+        json.dump(metrics, f, indent=1)
+    print(
+        f"{family} eval: "
+        + ", ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items()))
+    )
+    return metrics
+
+
 def _whitened(traj):
     """Whiten a TrajectoryData in place-style (the reference's 'whitened'
     dataset variants); returns (whitened TrajectoryData, mean, std)."""
@@ -169,7 +195,7 @@ def _whitened(traj):
 
 
 def _run_pretrain(ff, traj, epochs, batch_size, rng, key, logger, keeper,
-                  curves, out_dir, names):
+                  curves, out_dir, names, top):
     import jax
     import jax.numpy as jnp
 
@@ -200,11 +226,12 @@ def _run_pretrain(ff, traj, epochs, batch_size, rng, key, logger, keeper,
     z = jax.random.normal(key, (20, 31))
     coords = gen.apply(params, z, t, method=Generator.coords)
     _export_xyz(os.path.join(out_dir, "pretrain_generated.xyz"), coords, names)
+    _eval_generated(out_dir, "pretrain", coords, traj)
     return params
 
 
 def _run_cgan(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
-              out_dir, names):
+              out_dir, names, top):
     import jax
     import jax.numpy as jnp
 
@@ -243,11 +270,12 @@ def _run_cgan(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     z = jax.random.normal(key, (20, 31))
     coords = gen.apply(g_params, z, t, method=Generator.coords)
     _export_xyz(os.path.join(out_dir, "cGAN_generated.xyz"), coords, names)
+    _eval_generated(out_dir, "cgan", coords, traj)
     return g_params
 
 
 def _run_hnn(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
-             out_dir, names):
+             out_dir, names, top):
     import jax
     import jax.numpy as jnp
 
@@ -283,11 +311,12 @@ def _run_hnn(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     half = frames.shape[1] // 2
     coords = np.asarray(frames[:, :half]).reshape(len(frames), -1, 3)
     _export_xyz(os.path.join(out_dir, "HNN_generated.xyz"), coords, names)
+    _eval_generated(out_dir, "hnn", coords, traj)
     return params
 
 
 def _run_lstm(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
-              out_dir, names, nll=False):
+              out_dir, names, top, nll=False):
     import jax
     import jax.numpy as jnp
 
@@ -303,16 +332,23 @@ def _run_lstm(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     n = ff.n_atoms
     feat = n * 3
     history, lead = 15, 2
+    raw_traj = traj
     traj, w_mean, w_std = _whitened(traj)
     if nll:
         model = LSTMNLLPredictor(out_dim=feat)
         opt, step = make_nll_trainer(model)
     else:
         model = LSTMPredictor(out_dim=feat)
-        # phi/psi index tables are only known for named topologies; fall
-        # back to the dihedral table from the force field
-        phi_idx = np.asarray(ff.dihedrals)[: max(1, n // 4)]
-        psi_idx = np.asarray(ff.dihedrals)[max(1, n // 4) :][: max(1, n // 4)]
+        # real backbone torsion tables from the topology (the reference's
+        # getPhiVals/getPsiVals index tables, LSTM_V6/lstm.py:115-166,
+        # generalized by features.phi_psi_indices); topologies without
+        # standard backbone names fall back to the force-field dihedrals
+        from molecular_dynamics_tpu.features import phi_psi_indices
+
+        phi_idx, psi_idx = phi_psi_indices(top)
+        if not len(phi_idx) or not len(psi_idx):
+            phi_idx = np.asarray(ff.dihedrals)[: max(1, n // 4)]
+            psi_idx = np.asarray(ff.dihedrals)[max(1, n // 4) :][: max(1, n // 4)]
         opt, step = make_window_trainer(
             model, phi_idx, psi_idx, SeqTrainConfig(n_atoms=n)
         )
@@ -341,11 +377,12 @@ def _run_lstm(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
             np.asarray(frames).reshape(-1, n, 3), w_mean, w_std
         )
         _export_xyz(os.path.join(out_dir, "LSTM_generated.xyz"), coords, names)
+        _eval_generated(out_dir, "lstm", coords, raw_traj)
     return params
 
 
 def _run_seq2seq(ff, traj, epochs, batch_size, rng, key, logger, keeper,
-                 curves, out_dir, names):
+                 curves, out_dir, names, top):
     import jax
     import jax.numpy as jnp
 
@@ -355,7 +392,8 @@ def _run_seq2seq(ff, traj, epochs, batch_size, rng, key, logger, keeper,
     n = ff.n_atoms
     feat = n * 3
     history, decode_len = 10, 5
-    traj, _, _ = _whitened(traj)
+    raw_traj = traj
+    traj, w_mean, w_std = _whitened(traj)
     model = Seq2Seq(out_dim=feat)
     opt, step = make_seq2seq_trainer(model, decode_len)
     params = model.init(
@@ -383,11 +421,21 @@ def _run_seq2seq(ff, traj, epochs, batch_size, rng, key, logger, keeper,
                 i += 1
                 if i % 10 == 0:
                     _log(logger, curves, keeper, params, epoch, i, loss, t0)
+    # decode a future sequence from a data window (the reference's
+    # non-autoregressive test mode, Seq2Seq_V1/seq2seq.py:150-256)
+    from molecular_dynamics_tpu.evaluate import unwhiten
+
+    w0 = jnp.asarray(traj.trajectories[0][:history].reshape(history, feat))
+    key, sub = jax.random.split(key)
+    gen = model.apply(params, w0[None], sub, 50)[0]
+    coords = unwhiten(np.asarray(gen).reshape(-1, n, 3), w_mean, w_std)
+    _export_xyz(os.path.join(out_dir, "Seq2Seq_generated.xyz"), coords, names)
+    _eval_generated(out_dir, "seq2seq", coords, raw_traj)
     return params
 
 
 def _run_flow(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
-              out_dir, names):
+              out_dir, names, top):
     import jax
     import jax.numpy as jnp
 
@@ -422,11 +470,12 @@ def _run_flow(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     )
     coords = np.asarray(minmax_unscale(samples, lo, hi)).reshape(20, n, 3)
     _export_xyz(os.path.join(out_dir, "cFlow_generated.xyz"), coords, names)
+    _eval_generated(out_dir, "flow", coords, traj)
     return params
 
 
 def _run_vae(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
-             out_dir, names):
+             out_dir, names, top):
     import jax
     import jax.numpy as jnp
 
@@ -435,6 +484,7 @@ def _run_vae(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     from molecular_dynamics_tpu.train.generative import make_vae_trainer
 
     n = ff.n_atoms
+    raw_traj = traj
     traj, w_mean, w_std = _whitened(traj)
     model = ConditionalVAE(out_dim=n * 3)
     opt, step = make_vae_trainer(model)
@@ -468,11 +518,12 @@ def _run_vae(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
         w_std,
     )
     _export_xyz(os.path.join(out_dir, "VAE_generated.xyz"), coords, names)
+    _eval_generated(out_dir, "vae", coords, raw_traj)
     return params
 
 
 def _run_transformer(ff, traj, epochs, batch_size, rng, key, logger, keeper,
-                     curves, out_dir, names):
+                     curves, out_dir, names, top):
     import jax.numpy as jnp
 
     from molecular_dynamics_tpu.models.transformer import TrajectoryTransformer
@@ -484,7 +535,8 @@ def _run_transformer(ff, traj, epochs, batch_size, rng, key, logger, keeper,
     n = ff.n_atoms
     feat = n * 3
     history = 11
-    traj, _, _ = _whitened(traj)
+    raw_traj = traj
+    traj, w_mean, w_std = _whitened(traj)
     model = TrajectoryTransformer(out_dim=feat, d_model=64)
     opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-4))
 
@@ -509,11 +561,21 @@ def _run_transformer(ff, traj, epochs, batch_size, rng, key, logger, keeper,
             i += 1
             if i % 10 == 0:
                 _log(logger, curves, keeper, params, epoch, i, loss, t0)
+    from molecular_dynamics_tpu.evaluate import unwhiten
+    from molecular_dynamics_tpu.train.seq import autoregressive_rollout
+
+    w0 = jnp.asarray(traj.trajectories[0][:history].reshape(history, feat))
+    frames = autoregressive_rollout(model, params, w0, n_steps=50)
+    coords = unwhiten(np.asarray(frames).reshape(-1, n, 3), w_mean, w_std)
+    _export_xyz(
+        os.path.join(out_dir, "Transformer_generated.xyz"), coords, names
+    )
+    _eval_generated(out_dir, "transformer", coords, raw_traj)
     return params
 
 
 def _run_gat(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
-             out_dir, names):
+             out_dir, names, top):
     import jax
     import jax.numpy as jnp
     import optax
@@ -569,6 +631,185 @@ def _run_gat(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
             i += 1
             if i % 10 == 0:
                 _log(logger, curves, keeper, params, epoch, i, loss, t0)
+
+    # autoregressive rollout (semi-implicit Euler with a velocity-history
+    # queue, single_graph_gat.py:225-260) in the normalized units above
+    @jax.jit
+    def roll(params, pos0, v1, v2):
+        def stepf(carry, _):
+            pos, v1, v2 = carry
+            nodes = jnp.concatenate([pos, v1, v2], axis=-1)
+            acc_n = model.apply(params, nodes, pos)
+            v_new = v1 + acc_n * (acc_scale / vel_scale)
+            pos_new = pos + v_new * vel_scale
+            return (pos_new, v_new, v1), pos_new
+
+        _, out = jax.lax.scan(
+            stepf,
+            (pos0, v1, v2),
+            None,
+            length=50,
+        )
+        return out
+
+    frames = roll(
+        params,
+        jnp.asarray(t_arr[2]),
+        jnp.asarray(vel[1]),
+        jnp.asarray(vel[0]),
+    )
+    _export_xyz(os.path.join(out_dir, "GAT_generated.xyz"), frames, names)
+    _eval_generated(out_dir, "gat", np.asarray(frames), traj)
+    return params
+
+
+def _run_sde(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
+             out_dir, names, top):
+    """Neural SDE-GAN end to end: Wasserstein training on path windows with
+    weight clipping + SWA + potential injection (torchsde_v2/sde.py:399-478),
+    then marginal-distribution evaluation (sde.py:207-254)."""
+    import jax
+    import jax.numpy as jnp
+
+    from molecular_dynamics_tpu.evaluate import marginal_histograms, unwhiten
+    from molecular_dynamics_tpu.models.sde import CDEDiscriminator, SDEGenerator
+    from molecular_dynamics_tpu.train.sde import SDEGANConfig, make_sde_gan_trainer
+
+    n = ff.n_atoms
+    feat = n * 3
+    path_len = 8
+    raw_traj = traj
+    traj, w_mean, w_std = _whitened(traj)
+
+    # path windows (B, T, D) — the time-augmented trajectory chunks the
+    # reference interpolates into CDE coeffs (sde.py:170-201)
+    wins = []
+    for t_arr in traj.trajectories:
+        flat = t_arr.reshape(len(t_arr), -1)
+        for s in range(0, len(flat) - path_len + 1, path_len):
+            wins.append(flat[s : s + path_len])
+    paths = np.stack(wins).astype(np.float32)
+
+    ts = jnp.linspace(0.0, 1.0, path_len)
+    gen = SDEGenerator(data_dim=feat)
+    disc = CDEDiscriminator(data_dim=feat)
+    cfg = SDEGANConfig()
+    init_fn, (opt_g, opt_d), g_step, d_step, _, swa_update = (
+        make_sde_gan_trainer(gen, disc, ts, ff=None, config=cfg)
+    )
+    # potential injection on the *physical* scale: the generator emits
+    # whitened paths, so unwhiten (differentiably) before the energy stack
+    # (the reference's every-10-steps hook, sde.py:437-478)
+    import optax as _optax
+
+    from molecular_dynamics_tpu.train.losses import potential_loss
+
+    mean_j = jnp.asarray(w_mean, jnp.float32)
+    std_j = jnp.asarray(w_std, jnp.float32)
+
+    @jax.jit
+    def informed_step(g_params, g_opt, key):
+        def loss(gp):
+            fake = gen.apply(gp, key, ts, batch_size)
+            coords = (fake * std_j + mean_j).reshape(-1, n, 3)
+            return cfg.potential_weight * potential_loss(coords, ff)
+
+        val, grads = jax.value_and_grad(loss)(g_params)
+        updates, g_opt = opt_g.update(grads, g_opt, g_params)
+        return _optax.apply_updates(g_params, updates), g_opt, val
+
+    g_params, d_params = init_fn(key, batch_size)
+    g_opt, d_opt = opt_g.init(g_params), opt_d.init(d_params)
+    g_avg = g_params
+    t0 = time.time()
+    i = 0
+    for epoch in range(epochs):
+        order = rng.permutation(len(paths))
+        for s in range(0, len(order) - batch_size + 1, batch_size):
+            real = jnp.asarray(paths[order[s : s + batch_size]])
+            key, k1, k2, k3 = jax.random.split(key, 4)
+            g_params, g_opt, g_loss = g_step(
+                g_params, g_opt, d_params, k1, batch_size
+            )
+            d_params, d_opt, d_loss = d_step(
+                d_params, d_opt, g_params, k2, real
+            )
+            if i % cfg.potential_every == cfg.potential_every - 1:
+                g_params, g_opt, _ = informed_step(g_params, g_opt, k3)
+            g_avg = swa_update(g_avg, g_params)
+            i += 1
+            if i % 10 == 0:
+                _log(logger, curves, keeper, g_params, epoch, i, d_loss, t0)
+    # generate paths with the SWA generator; evaluate marginals + e2e
+    key, sub = jax.random.split(key)
+    fake = gen.apply(g_avg, sub, ts, 32)
+    coords = unwhiten(
+        np.asarray(fake).reshape(-1, n, 3), w_mean, w_std
+    )
+    _export_xyz(os.path.join(out_dir, "SDE_generated.xyz"), coords, names)
+    _eval_generated(
+        out_dir, "sde", coords, raw_traj,
+        extra=marginal_histograms(np.asarray(fake), paths),
+    )
+    return g_avg
+
+
+def _run_node(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
+              out_dir, names, top):
+    """Neural-ODE on phase-space data: an HNN vector field trained through
+    the solver (the torchdyn variant, Molecule_Dynamics_Torchdyn/hnn_v0/
+    hnn.py:13-95 — NeuralODE(sensitivity='adjoint') around an HNN)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from molecular_dynamics_tpu.models.hnn import HNN
+    from molecular_dynamics_tpu.models.node import hnn_field, rk4_rollout, rk4_step
+    from molecular_dynamics_tpu.train.datasets import phase_space_pairs
+
+    x, dx = phase_space_pairs(traj)
+    model = HNN(hidden=(200, 200))
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
+    params = model.init(key, jnp.zeros((x.shape[1],)))
+    opt_state = opt.init(params)
+    dt = 1.0  # frame units: dx is the per-frame finite difference
+
+    @jax.jit
+    def step(params, opt_state, xb, dxb):
+        def loss(p):
+            field = hnn_field(model, p)
+            # one solver step through the ODE: x(t+dt) ≈ x + dx
+            pred = jax.vmap(
+                lambda x0: rk4_step(field, x0, jnp.asarray(0.0), dt)
+            )(xb)
+            return jnp.mean((pred - (xb + dxb)) ** 2)
+
+        val, grads = jax.value_and_grad(loss)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, val
+
+    t0 = time.time()
+    i = 0
+    for epoch in range(epochs):
+        order = rng.permutation(len(x))
+        for s in range(0, len(order) - batch_size + 1, batch_size):
+            sel = order[s : s + batch_size]
+            params, opt_state, loss = step(
+                params, opt_state, jnp.asarray(x[sel]), jnp.asarray(dx[sel])
+            )
+            i += 1
+            if i % 10 == 0:
+                _log(logger, curves, keeper, params, epoch, i, loss, t0)
+            if i >= 200 * (epoch + 1):
+                break
+    # rollout through the solver -> coordinates (position half of the state)
+    frames = rk4_rollout(
+        hnn_field(model, params), jnp.asarray(x[0]), n_steps=200, dt=dt
+    )
+    half = frames.shape[1] // 2
+    coords = np.asarray(frames[:, :half]).reshape(len(frames), -1, 3)
+    _export_xyz(os.path.join(out_dir, "NODE_generated.xyz"), coords, names)
+    _eval_generated(out_dir, "node", coords, traj)
     return params
 
 
@@ -583,4 +824,6 @@ _FAMILIES = {
     "vae": _run_vae,
     "transformer": _run_transformer,
     "gat": _run_gat,
+    "sde": _run_sde,
+    "node": _run_node,
 }
