@@ -43,7 +43,11 @@ NONBONDED_TERMS = ("electrostatics", "lj", "repulsion", "repulsioncg")
 #: implicit-solvent terms (NAMD GBIS protocol, gendirs_GBIS.py:55-64);
 #: require GB tables on the FFParams (solvent.attach_gb_params)
 SOLVENT_TERMS = ("gb", "sasa")
-ALL_TERMS = BONDED_TERMS + NONBONDED_TERMS + SOLVENT_TERMS
+#: CHARMM CMAP phi/psi cross-term correction (par_all27 grids, bicubically
+#: interpolated); requires CMAP tables on the FFParams. The reference's
+#: torchmd stack never evaluated CMAP, so it is not in DEFAULT_TERMS.
+CMAP_TERMS = ("cmap",)
+ALL_TERMS = BONDED_TERMS + NONBONDED_TERMS + SOLVENT_TERMS + CMAP_TERMS
 DEFAULT_TERMS = (
     "electrostatics",
     "lj",
@@ -180,6 +184,35 @@ def _urey_bradley_energy(pos, ff: FFParams, box) -> Array:
     d = _safe_norm(pair_displacements(pos, ff.ub_bonds, box))
     k0, d0 = ff.ub_params[:, 0], ff.ub_params[:, 1]
     return jnp.sum(k0 * (d - d0) ** 2)
+
+
+def _cmap_energy(pos, ff: FFParams, box) -> Array:
+    """CHARMM CMAP phi/psi cross-term correction (kcal/mol).
+
+    Bicubic interpolation on the periodic correction grids — the
+    CHARMM31+/NAMD evaluation scheme (the coefficients were precomputed per
+    cell from the par_all27 maps at build time,
+    ff.params.bicubic_coefficients). Differentiable: forces follow from the
+    polynomial's exact gradient through ``jax.grad``.
+    """
+    idx = ff.cmap_idx  # (C, 8)
+    phi = dihedral_angles(pos, idx[:, :4], box)
+    psi = dihedral_angles(pos, idx[:, 4:], box)
+    g = ff.cmap_coeffs.shape[1]
+    h = 2.0 * jnp.pi / g
+    x = (phi + jnp.pi) / h  # grid coordinates in [0, G)
+    y = (psi + jnp.pi) / h
+    ix = jnp.floor(x)
+    iy = jnp.floor(y)
+    t = (x - ix).astype(pos.dtype)
+    u = (y - iy).astype(pos.dtype)
+    ii = jnp.mod(ix.astype(jnp.int32), g)
+    jj = jnp.mod(iy.astype(jnp.int32), g)
+    coeff = ff.cmap_coeffs[ff.cmap_grid_id, ii, jj]  # (C, 4, 4)
+    one = jnp.ones_like(t)
+    tv = jnp.stack([one, t, t * t, t * t * t], axis=-1)
+    uv = jnp.stack([one, u, u * u, u * u * u], axis=-1)
+    return jnp.sum(jnp.einsum("cmn,cm,cn->c", coeff, tv, uv))
 
 
 def _angle_energy(pos, ff: FFParams, box) -> Array:
@@ -341,6 +374,15 @@ def energy_terms(
 
     if resolve_urey_bradley(cfg, ff):
         out["urey_bradley"] = _urey_bradley_energy(pos, ff, box)
+
+    if "cmap" in cfg.terms:
+        if not ff.has_cmap:
+            raise ValueError(
+                "cmap term requested but the FFParams carry no CMAP tables "
+                "— build from a PSF + CHARMM .prm with a CMAP section "
+                "(ff.params.attach_cmap_params)"
+            )
+        out["cmap"] = _cmap_energy(pos, ff, box)
 
     if "gb" in cfg.terms or "sasa" in cfg.terms:
         from molecular_dynamics_tpu import solvent

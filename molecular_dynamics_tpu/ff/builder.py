@@ -159,6 +159,32 @@ def build_ff_params(
             ub_bonds = np.array(ub_rows, np.int64)
             ub_params = np.array(ub_pars, np.float64)
 
+    # CMAP cross-terms: explicit PSF !NCRTERM rows when present, else the
+    # standard protein phi/psi pairing derived from backbone atom names
+    # (what CHARMM's topology generation emits). Attached whenever the
+    # parameter source carries CMAP grids; inert until the "cmap" energy
+    # term is enabled.
+    cmap_idx, cmap_grids, cmap_gid = None, None, None
+    if hasattr(ff, "get_cmap") and getattr(ff, "cmaps", None):
+        rows = np.asarray(getattr(top, "cross_terms", np.zeros((0, 8))))
+        if not len(rows):
+            rows = _backbone_cross_terms(top)
+        kept, gids, grids, seen = [], [], [], {}
+        for r in np.asarray(rows, np.int64).reshape(-1, 8):
+            grid = ff.get_cmap(tuple(atom_types[r].astype(str)))
+            if grid is None:
+                continue
+            gkey = id(grid)
+            if gkey not in seen:
+                seen[gkey] = len(grids)
+                grids.append(np.asarray(grid))
+            kept.append(r)
+            gids.append(seen[gkey])
+        if kept:
+            cmap_idx = np.asarray(kept, np.int64)
+            cmap_grids = grids
+            cmap_gid = np.asarray(gids, np.int64)
+
     from molecular_dynamics_tpu.solvent import attach_gb_params, infer_elements
 
     params = finalize_ff_params(
@@ -183,6 +209,38 @@ def build_ff_params(
     )
     # GB/SASA tables ride along so implicit-solvent terms are available on
     # demand (inert until "gb"/"sasa" appear in EnergyConfig.terms)
-    return attach_gb_params(
+    params = attach_gb_params(
         params, elements=infer_elements(masses, top.atom_names)
     )
+    if cmap_idx is not None:
+        from molecular_dynamics_tpu.ff.params import attach_cmap_params
+
+        params = attach_cmap_params(
+            params, cmap_idx, cmap_grids, cmap_gid, dtype=dtype
+        )
+    return params
+
+
+def _backbone_cross_terms(top: Topology) -> np.ndarray:
+    """Standard protein CMAP cross-terms (C-,N,CA,C,N,CA,C,N+) per interior
+    residue, derived from backbone atom names — the pairing CHARMM's
+    topology generation writes into !NCRTERM for protein segments."""
+    by_res = {}
+    for i, (r, nm) in enumerate(zip(top.res_ids, top.atom_names)):
+        by_res.setdefault(int(r), {})[str(nm)] = i
+    res = sorted(by_res)
+    rows = []
+    for k in range(1, len(res) - 1):
+        prev, cur, nxt = by_res[res[k - 1]], by_res[res[k]], by_res[res[k + 1]]
+        if (
+            "C" in prev
+            and all(n in cur for n in ("N", "CA", "C"))
+            and "N" in nxt
+        ):
+            rows.append(
+                (
+                    prev["C"], cur["N"], cur["CA"], cur["C"],
+                    cur["N"], cur["CA"], cur["C"], nxt["N"],
+                )
+            )
+    return np.asarray(rows, np.int64).reshape(-1, 8)

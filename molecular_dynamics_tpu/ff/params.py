@@ -71,6 +71,15 @@ class FFParams:
     sasa_radii: Optional[jnp.ndarray] = None
     sasa_params: Optional[jnp.ndarray] = None
 
+    #: optional CMAP cross-terms (CHARMM phi/psi correction grids,
+    #: par_all27_prot_lipid_cmap.prm): ``cmap_idx`` (C, 8) atom indices of
+    #: the two dihedrals, ``cmap_grid_id`` (C,) index into ``cmap_coeffs``
+    #: (M, G, G, 4, 4) — per-cell bicubic coefficients precomputed from the
+    #: periodic grids (inert until "cmap" is in EnergyConfig.terms)
+    cmap_idx: Optional[jnp.ndarray] = None
+    cmap_grid_id: Optional[jnp.ndarray] = None
+    cmap_coeffs: Optional[jnp.ndarray] = None
+
     @property
     def n_atoms(self) -> int:
         return self.masses.shape[0]
@@ -78,6 +87,10 @@ class FFParams:
     @property
     def has_gb(self) -> bool:
         return self.gb_radii is not None
+
+    @property
+    def has_cmap(self) -> bool:
+        return self.cmap_idx is not None and self.cmap_idx.shape[0] > 0
 
 
 def _pad_terms(term_lists: Sequence[Sequence[Sequence[float]]], dtype):
@@ -101,6 +114,72 @@ def _pad_terms(term_lists: Sequence[Sequence[Sequence[float]]], dtype):
             params[i, j] = (k0, phi0, per)
             mask[i, j] = True
     return params, mask
+
+
+def bicubic_coefficients(grid: np.ndarray) -> np.ndarray:
+    """Per-cell bicubic coefficients for a periodic 2D grid, (G, G, 4, 4).
+
+    The CHARMM/NAMD CMAP evaluation scheme: grid-point derivatives by
+    centered finite differences on the periodic grid, then the standard
+    bicubic coefficient solve per cell so the surface is C1-continuous and
+    interpolates the node values exactly. Cell-local coordinates t, u in
+    [0, 1); E(t, u) = sum_mn A[m, n] t^m u^n.
+    """
+    f = np.asarray(grid, np.float64)
+    fx = (np.roll(f, -1, 0) - np.roll(f, 1, 0)) / 2.0
+    fy = (np.roll(f, -1, 1) - np.roll(f, 1, 1)) / 2.0
+    fxy = (
+        np.roll(np.roll(f, -1, 0), -1, 1)
+        - np.roll(np.roll(f, -1, 0), 1, 1)
+        - np.roll(np.roll(f, 1, 0), -1, 1)
+        + np.roll(np.roll(f, 1, 0), 1, 1)
+    ) / 4.0
+
+    def corners(a):
+        return (
+            a,
+            np.roll(a, -1, 0),
+            np.roll(a, -1, 1),
+            np.roll(np.roll(a, -1, 0), -1, 1),
+        )
+
+    f00, f10, f01, f11 = corners(f)
+    fx00, fx10, fx01, fx11 = corners(fx)
+    fy00, fy10, fy01, fy11 = corners(fy)
+    fxy00, fxy10, fxy01, fxy11 = corners(fxy)
+    fmat = np.stack(
+        [
+            np.stack([f00, f01, fy00, fy01], -1),
+            np.stack([f10, f11, fy10, fy11], -1),
+            np.stack([fx00, fx01, fxy00, fxy01], -1),
+            np.stack([fx10, fx11, fxy10, fxy11], -1),
+        ],
+        -2,
+    )  # (G, G, 4, 4)
+    b = np.array(
+        [[1, 0, 0, 0], [0, 0, 1, 0], [-3, 3, -2, -1], [2, -2, 1, 1]],
+        np.float64,
+    )
+    return np.einsum("mp,ijpq,nq->ijmn", b, fmat, b)
+
+
+def attach_cmap_params(
+    params: "FFParams", cmap_idx: np.ndarray, grids: Sequence[np.ndarray],
+    grid_id: np.ndarray, dtype=None,
+) -> "FFParams":
+    """Return a copy of ``params`` carrying CMAP tables (inert until the
+    "cmap" energy term is enabled)."""
+    import dataclasses
+
+    if dtype is None:
+        dtype = params.masses.dtype
+    coeffs = np.stack([bicubic_coefficients(g) for g in grids])
+    return dataclasses.replace(
+        params,
+        cmap_idx=jnp.asarray(np.asarray(cmap_idx, np.int32).reshape(-1, 8)),
+        cmap_grid_id=jnp.asarray(np.asarray(grid_id, np.int32)),
+        cmap_coeffs=jnp.asarray(coeffs, dtype),
+    )
 
 
 def _exclusion_mask(

@@ -18,6 +18,9 @@ CHARMM conventions handled:
 - nonbonded: eps (negative), Rmin/2 [+ optional eps14, Rmin14/2]; the
   Lennard-Jones A/B use eps_ij = sqrt(eps_i eps_j), Rmin_ij = Rmin/2_i +
   Rmin/2_j: A = eps Rmin^12, B = 2 eps Rmin^6
+- CMAP: 2D phi/psi cross-term correction grids (par_all27_prot_lipid_cmap
+  carries 6 maps, 24x24 at 15 deg) keyed by the 8 atom types of the two
+  dihedrals; energies bicubically interpolated by the "cmap" energy term
 - wildcard ``X`` matching with the usual specificity ordering
 """
 
@@ -51,10 +54,14 @@ class CharmmPrm:
         self.nonbonded: Dict[str, Tuple[float, float]] = {}
         self.nonbonded14: Dict[str, Tuple[float, float]] = {}
         self.masses: Dict[str, float] = dict(masses or {})
+        #: 8-type keys -> (G, G) grid of correction energies (kcal/mol) on
+        #: [-180, 180) x [-180, 180); grid[i, j] = E(phi_i, psi_j)
+        self.cmaps: Dict[tuple, np.ndarray] = {}
         self._parse(path)
 
     def _parse(self, path: str):
         section = None
+        cmap_key, cmap_res, cmap_vals = None, 0, []
         with open(path) as fh:
             for raw in fh:
                 toks = _tokens(raw)
@@ -63,6 +70,24 @@ class CharmmPrm:
                 head = toks[0].upper()
                 if head in _SECTIONS:
                     section = "IMPROPER" if head.startswith("IMPROPER") else head
+                    continue
+                if section == "CMAP":
+                    if toks[0][0].isalpha() and len(toks) >= 9:
+                        # new map header: 8 atom types + grid resolution
+                        cmap_key = tuple(toks[:8])
+                        cmap_res = int(toks[8])
+                        cmap_vals = []
+                        continue
+                    if cmap_key is not None:
+                        try:
+                            cmap_vals.extend(float(t) for t in toks)
+                        except ValueError:
+                            continue
+                        if len(cmap_vals) >= cmap_res * cmap_res:
+                            self.cmaps[cmap_key] = np.array(
+                                cmap_vals[: cmap_res * cmap_res], np.float64
+                            ).reshape(cmap_res, cmap_res)
+                            cmap_key = None
                     continue
                 if head in ("CUTNB", "NONBFIX") or head.startswith("!"):
                     continue
@@ -177,6 +202,14 @@ class CharmmPrm:
         s1, e1 = self.get_LJ14(at1)
         s4, e4 = self.get_LJ14(at4)
         return 1.0, 1.0, s1, e1, s4, e4
+
+    def get_cmap(self, types8: tuple):
+        """(G, G) correction grid for the 8 atom types of a phi/psi
+        cross-term, or None when no map covers it."""
+        key = tuple(types8)
+        if key in self.cmaps:
+            return self.cmaps[key]
+        return None
 
     def get_improper(self, at1, at2, at3, at4) -> Tuple[float, float, float]:
         candidates = []

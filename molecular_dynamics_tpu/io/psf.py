@@ -25,8 +25,8 @@ def read_psf(path: str) -> Topology:
         raise ValueError(f"{path} is not a PSF file")
 
     atoms = []
-    tables = {"NBOND": [], "NTHETA": [], "NPHI": [], "NIMPHI": []}
-    widths = {"NBOND": 2, "NTHETA": 3, "NPHI": 4, "NIMPHI": 4}
+    tables = {"NBOND": [], "NTHETA": [], "NPHI": [], "NIMPHI": [], "NCRTERM": []}
+    widths = {"NBOND": 2, "NTHETA": 3, "NPHI": 4, "NIMPHI": 4, "NCRTERM": 8}
 
     i = 0
     while i < len(lines):
@@ -85,4 +85,5 @@ def read_psf(path: str) -> Topology:
         dihedrals=np.asarray(tables["NPHI"]).reshape(-1, 4),
         impropers=np.asarray(tables["NIMPHI"]).reshape(-1, 4),
         seg_ids=np.array(seg, object),
+        cross_terms=np.asarray(tables["NCRTERM"]).reshape(-1, 8),
     )

@@ -50,6 +50,11 @@ class Topology:
     seg_ids: Optional[np.ndarray] = None
     #: reference coordinates if the source carried them (PDB/inpcrd), (N,3)
     coords: Optional[np.ndarray] = None
+    #: CMAP cross-terms (C, 8): two consecutive dihedrals per row (CHARMM
+    #: PSF !NCRTERM section); empty when the PSF predates CMAP
+    cross_terms: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 8), np.int64)
+    )
 
     @property
     def n_atoms(self) -> int:

@@ -16,6 +16,10 @@ import dataclasses
 PAR22 = REFERENCE_DIR / "V_Calculations/Test-10_diALA/data/par_all22_prot.prm"
 PROT_PSF = REFERENCE_DIR / "V_Calculations/Test-10_diALA/data/protein.psf"
 ALAD_PDB = REFERENCE_DIR / "V_Calculations/Test-10_diALA/data/alad.pdb"
+CAMPAIGN = REFERENCE_DIR / "All_ML_Training_Data/210905_SMD_decaalanine"
+PAR27 = CAMPAIGN / "charmm/par_all27_prot_lipid_cmap.prm"
+DA_PSF = CAMPAIGN / "Build/da.psf"
+DA_PDB = CAMPAIGN / "Build/smd_ini.pdb"
 
 
 @requires_reference
@@ -79,3 +83,89 @@ class TestCharmmPrm:
         pm[3, 0] -= eps_fd
         fd = (float(f(jnp.asarray(pp))) - float(f(jnp.asarray(pm)))) / (2 * eps_fd)
         assert float(g[3, 0]) == pytest.approx(fd, rel=1e-5, abs=1e-5)
+
+
+@requires_reference
+class TestCmap:
+    """CHARMM CMAP phi/psi cross-term correction (par_all27 grids)."""
+
+    @pytest.fixture(scope="class")
+    def system(self):
+        from molecular_dynamics_tpu.io import read_pdb, read_psf
+
+        prm = CharmmPrm(str(PAR27))
+        top = read_psf(str(DA_PSF))
+        coords, *_ = read_pdb(str(DA_PDB))
+        ff = build_ff_params(
+            top, prm, charges_from="topology", dtype=jnp.float64
+        )
+        return prm, ff, coords
+
+    def test_grids_parsed(self, system):
+        prm, _, _ = system
+        assert len(prm.cmaps) == 6  # ala/pro/gly x {NH1, N-next}
+        g = prm.cmaps[("C", "NH1", "CT1", "C", "NH1", "CT1", "C", "NH1")]
+        assert g.shape == (24, 24)
+        # first values of the alanine map at phi=-180: psi=-180 and -120
+        assert g[0, 0] == pytest.approx(0.126790)
+        assert g[0, 4] == pytest.approx(2.121010)
+
+    def test_cross_terms_derived(self, system):
+        # da.psf predates NCRTERM -> backbone-derived: 8 interior residues
+        _, ff, _ = system
+        assert ff.has_cmap
+        assert ff.cmap_idx.shape == (8, 8)
+        # each row: phi (C-,N,CA,C) then psi (N,CA,C,N+); shared atoms match
+        idx = np.asarray(ff.cmap_idx)
+        np.testing.assert_array_equal(idx[:, 1:4], idx[:, 4:7])
+
+    def test_cmap_energy_and_fd_forces(self, system):
+        _, ff, coords = system
+        cfg = dataclasses.replace(REFERENCE_CONFIG, terms=("cmap",))
+        f = jax.jit(lambda p: total_energy(p, ff, config=cfg))
+        pos = jnp.asarray(coords, jnp.float64)
+        e = float(f(pos))
+        # alanine-map corrections are a few kcal/mol over 8 cross-terms
+        assert np.isfinite(e) and abs(e) < 50.0
+        g = jax.jit(jax.grad(lambda p: total_energy(p, ff, config=cfg)))(pos)
+        eps = 1e-6
+        for a in np.unique(np.asarray(ff.cmap_idx))[:4]:
+            for d in range(3):
+                pp = np.array(coords, float)
+                pm = pp.copy()
+                pp[a, d] += eps
+                pm[a, d] -= eps
+                fd = (float(f(jnp.asarray(pp))) - float(f(jnp.asarray(pm)))) / (2 * eps)
+                assert float(g[a, d]) == pytest.approx(fd, rel=1e-4, abs=1e-6)
+
+    def test_bicubic_node_exact_and_continuous(self):
+        from molecular_dynamics_tpu.ff.params import bicubic_coefficients
+
+        rng = np.random.default_rng(0)
+        grid = rng.normal(0, 2, (24, 24))
+        a = bicubic_coefficients(grid)
+        # interpolant hits the grid values at the nodes
+        np.testing.assert_allclose(a[:, :, 0, 0], grid, atol=1e-12)
+        # continuity across cell edges (periodic)
+        t1 = np.array([1.0, 1.0, 1.0, 1.0])
+        u = 0.37
+        uv = np.array([1.0, u, u * u, u**3])
+        right = np.einsum("ijmn,m,n->ij", a, t1, uv)
+        left = np.einsum(
+            "ijmn,m,n->ij", np.roll(a, -1, 0),
+            np.array([1.0, 0, 0, 0]), uv,
+        )
+        np.testing.assert_allclose(right, left, atol=1e-10)
+
+    def test_cmap_requires_tables(self):
+        """Requesting cmap on a CMAP-less system fails loudly."""
+        from molecular_dynamics_tpu.energy import energy_terms
+        from molecular_dynamics_tpu.examples import decaalanine_backbone
+        from molecular_dynamics_tpu.ff import YamlForceField, build_ff_params
+        from molecular_dynamics_tpu.examples import BACKBONE_FF_PRM
+
+        top, coords = decaalanine_backbone()
+        ff = build_ff_params(top, YamlForceField(BACKBONE_FF_PRM))
+        cfg = dataclasses.replace(REFERENCE_CONFIG, terms=("cmap",))
+        with pytest.raises(ValueError, match="CMAP"):
+            energy_terms(jnp.asarray(coords, jnp.float32), ff, config=cfg)
