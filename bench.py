@@ -10,6 +10,7 @@ reference's 50 independent NAMD jobs (SURVEY.md §3.5).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -73,6 +74,17 @@ def main():
         kernel_block_r=int(os.environ.get("MDX_BENCH_BLOCK_R", 0)),
         fused_campaign=os.environ.get("MDX_BENCH_CAMPAIGN", "1") == "1",
     )
+    # NAMD campaign protocol: rigidBonds ALL at 2 fs (gendirs_GBIS.py:66) —
+    # SHAKE/RATTLE runs inside the fused kernel. MDX_BENCH_CONSTRAIN=0
+    # benches the unconstrained kernel.
+    constrain = os.environ.get("MDX_BENCH_CONSTRAIN", "1") == "1"
+    cons = None
+    if constrain:
+        from molecular_dynamics_tpu.constraints import hydrogen_bond_constraints
+
+        hb = hydrogen_bond_constraints(ff)
+        cons = hb if hb.n_constraints else None
+
     if cfg.fused_campaign:
         from molecular_dynamics_tpu.ops.fused_step import make_fused_campaign_op
 
@@ -80,9 +92,13 @@ def main():
             ff, n_inner=int(os.environ.get("MDX_BENCH_INNER", 50)),
             dt_fs=cfg.dt_fs, temperature=cfg.temperature,
             gamma_ps=cfg.gamma_ps, bias=bias,
-            block_r=int(os.environ.get("MDX_BENCH_CBLOCK", 64)),
+            constraints=cons,
+            shake_iters=int(os.environ.get("MDX_BENCH_SHAKE_ITERS", 6)),
+            rattle_iters=int(os.environ.get("MDX_BENCH_RATTLE_ITERS", 3)),
+            block_r=int(os.environ.get("MDX_BENCH_CBLOCK", 128)),
         )
     else:
+        cfg = dataclasses.replace(cfg, constrain_h_bonds=cons is not None)
         step_fn = make_ensemble_step_fn(ff, cfg, bias)
 
     state = system_init(pos, vel=vel, key=key)
@@ -131,7 +147,11 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "decaalanine_104atom_langevin_smd_steps_per_sec_1024rep",
+                "metric": (
+                    "decaalanine_104atom_langevin_smd_rigidbonds_steps_per_sec_1024rep"
+                    if cons is not None
+                    else "decaalanine_104atom_langevin_smd_steps_per_sec_1024rep"
+                ),
                 "value": round(steps_per_sec, 1),
                 "unit": "steps/sec (aggregate)",
                 "vs_baseline": round(steps_per_sec / TARGET, 4),

@@ -263,20 +263,19 @@ def cmd_convert(args) -> int:
         frames = frames[:, keep]
 
     if args.align:
-        import jax
-        import jax.numpy as jnp
-
-        from molecular_dynamics_tpu.features import kabsch_align
-
-        ref = jnp.asarray(frames[0], jnp.float64)
-
-        def align(f):
-            r, t = kabsch_align(f, ref)
-            return f @ r.T + t
-
-        frames = np.asarray(
-            jax.jit(jax.vmap(align))(jnp.asarray(frames, jnp.float64))
-        )
+        # host numpy f64 Kabsch: precision must not depend on jax's global
+        # x64 flag (the aligned-backbone converter's semantics,
+        # dcd_to_aligned_backbone_npy-2.0.py)
+        ref = np.asarray(frames[0], np.float64)
+        ref_c = ref - ref.mean(axis=0)
+        out = np.empty_like(np.asarray(frames, np.float64))
+        for k, f in enumerate(np.asarray(frames, np.float64)):
+            f_c = f - f.mean(axis=0)
+            u, _, vt = np.linalg.svd(f_c.T @ ref_c, full_matrices=False)
+            d = np.sign(np.linalg.det(vt.T @ u.T))
+            r = vt.T @ np.diag([1.0, 1.0, d]) @ u.T
+            out[k] = f_c @ r.T + ref.mean(axis=0)
+        frames = out
 
     np.save(args.output, np.asarray(frames, np.float32))
     print(f"{args.input} -> {args.output} {frames.shape}")

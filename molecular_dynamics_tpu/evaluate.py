@@ -98,19 +98,24 @@ def radius_of_gyration(frames: np.ndarray, masses=None) -> np.ndarray:
 
 def rmsf(frames: np.ndarray) -> np.ndarray:
     """Per-atom root-mean-square fluctuation about the mean structure
-    after Kabsch alignment to the first frame, (n_atoms,)."""
-    frames = jnp.asarray(frames, jnp.float64)
+    after Kabsch alignment to the first frame, (n_atoms,).
+
+    Alignment runs in host numpy float64 (jax would silently downcast to
+    f32 unless x64 is globally enabled — analysis precision should not
+    depend on a global flag)."""
+    frames = np.asarray(frames, np.float64)
     ref = frames[0]
-
-    def align(f):
-        r, t = kabsch_align(f, ref)
-        return f @ r.T + t
-
-    aligned = jax.vmap(align)(frames)
-    mean = jnp.mean(aligned, axis=0)
-    return np.asarray(
-        jnp.sqrt(jnp.mean(jnp.sum((aligned - mean) ** 2, axis=-1), axis=0))
-    )
+    ref_c = ref - ref.mean(axis=0)
+    aligned = np.empty_like(frames)
+    for k, f in enumerate(frames):
+        f_c = f - f.mean(axis=0)
+        u, _, vt = np.linalg.svd(f_c.T @ ref_c, full_matrices=False)
+        d = np.sign(np.linalg.det(vt.T @ u.T))
+        corr = np.diag([1.0, 1.0, d])
+        r = vt.T @ corr @ u.T
+        aligned[k] = f_c @ r.T + ref.mean(axis=0)
+    mean = aligned.mean(axis=0)
+    return np.sqrt(np.mean(np.sum((aligned - mean) ** 2, axis=-1), axis=0))
 
 
 def ensemble_rmsd_to_reference(

@@ -205,8 +205,8 @@ def make_fused_campaign_op(
     include_ub=None,  # None -> auto: on iff ff carries UB springs
     bias=None,
     constraints=None,  # a constraints.Constraints -> SHAKE/RATTLE in-kernel
-    shake_iters: int = 10,
-    rattle_iters: int = 5,
+    shake_iters: int = 6,
+    rattle_iters: int = 3,
     block_r: int = 64,
     interpret: bool = False,
 ):
@@ -217,8 +217,8 @@ def make_fused_campaign_op(
     force with the moving-center schedule evaluated at ``t0 + i``.
     ``constraints`` enables in-kernel SHAKE/RATTLE (rigid-bond protocol);
     X-H star clusters converge geometrically (Jacobi contraction ratio
-    ~w_heavy/(w_heavy+w_H) ≈ 0.08), so the default sweep counts leave
-    residual violations well below 1e-6 A.
+    ~w_heavy/(w_heavy+w_H) ≈ 0.08), so the default sweep counts sit at the
+    f32 noise floor (violations ~3e-7 A, measured 10-step rollout).
     Arrays are (R, N, 3); t0 int32 scalar; seed int32 scalar.
     """
     n = ff.n_atoms

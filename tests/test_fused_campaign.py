@@ -176,6 +176,38 @@ class TestFusedCampaign:
         )
         assert np.abs(vrel).max() < 1e-6
 
+    @pytest.mark.skipif(
+        jax.default_backend() != "tpu",
+        reason="on-core PRNG (pltpu.prng_random_bits) needs a real TPU",
+    )
+    def test_campaign_noise_independence(self, full_system):
+        """Thermostat noise: replicas within and across kernel blocks get
+        independent streams; seeds are reproducible and distinct."""
+        ff, pos = full_system
+        n = ff.n_atoms
+        adv = make_fused_campaign_op(
+            ff, n_inner=5, dt_fs=1.0, temperature=300.0, gamma_ps=1.0,
+            block_r=8,
+        )
+        R = 16  # two grid blocks of 8
+        pos_b = jnp.broadcast_to(pos, (R, n, 3)).astype(jnp.float32)
+        vel_b = jnp.zeros((R, n, 3), jnp.float32)
+        pot = lambda q: total_energy(q, ff, config=REFERENCE_CONFIG)
+        f0 = jax.vmap(lambda p: -jax.grad(pot)(p))(pos_b)
+        run = jax.jit(lambda s: adv(pos_b, vel_b, f0, jnp.int32(0), s))
+        p1, v1, _ = run(jnp.int32(123))
+        flat = np.asarray(p1).reshape(R, -1)
+        # identical initial replicas diverge pairwise (independent noise),
+        # including across the block boundary (rows 7 vs 8)
+        for a in range(R):
+            for b in range(a + 1, R):
+                assert np.abs(flat[a] - flat[b]).max() > 1e-6, (a, b)
+        # different seed -> different trajectories; same seed -> identical
+        p2, _, _ = run(jnp.int32(124))
+        assert np.abs(np.asarray(p1) - np.asarray(p2)).max() > 1e-6
+        p3, _, _ = run(jnp.int32(123))
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p3))
+
     def test_simulate_ensemble_campaign_path(self, full_system):
         """simulate_ensemble with fused_campaign=True (interpret, T=0)."""
         import dataclasses as _dc
