@@ -146,6 +146,120 @@ def apply_velocity_constraints(
     return jax.lax.fori_loop(0, n_iter, sweep, vel)
 
 
+def make_matmul_projectors(cons: Constraints, n_atoms: int):
+    """Batched SHAKE/RATTLE as dense matmuls (the XLA twin of the fused
+    kernel's in-Pallas projections).
+
+    The per-constraint gather ``pos[i] - pos[j]`` becomes ``pos^T @ cd`` with
+    a static {+1,-1} matrix, and the mass-weighted Lagrange scatter becomes
+    ``corr @ cs`` — no scatter ops, so the whole replica batch projects in a
+    few MXU matmuls per sweep instead of vmapped ``.at[].add`` chains.
+    Returns ``(shake(pos, pos_ref, n_iter), rattle(vel, pos, n_iter))``
+    operating on ``(..., N, 3)`` arrays. Identical Jacobi iteration to
+    :func:`apply_position_constraints` / :func:`apply_velocity_constraints`
+    (same fixed point; f32 op order differs).
+    """
+    pairs = np.asarray(cons.pairs)
+    c = len(pairs)
+    li, lj = pairs[:, 0], pairs[:, 1]
+    inv_mass = np.asarray(cons.inv_mass)
+    wi, wj = inv_mass[li], inv_mass[lj]
+    r = np.arange(c)
+    cd = np.zeros((n_atoms, c), np.float32)
+    cd[li, r] += 1.0
+    cd[lj, r] -= 1.0
+    cs = np.zeros((c, n_atoms), np.float32)
+    cs[r, li] = -wi
+    cs[r, lj] = wj
+    cd_j = jnp.asarray(cd)
+    cs_j = jnp.asarray(cs)
+    wsum = jnp.asarray((wi + wj)[:, None], jnp.float32)  # (C, 1)
+    winv = jnp.asarray((1.0 / (wi + wj))[:, None], jnp.float32)
+    d0sq = jnp.asarray((np.asarray(cons.lengths) ** 2)[:, None], jnp.float32)
+
+    hi = jax.lax.Precision.HIGHEST
+
+    def gather(p):  # (..., N, 3) -> (..., C, 3)
+        return jnp.einsum("...nd,nc->...cd", p, cd_j, precision=hi)
+
+    def scatter(corr):  # (..., C, 3) -> (..., N, 3)
+        return jnp.einsum("...cd,cn->...nd", corr, cs_j, precision=hi)
+
+    def shake(pos, pos_ref, n_iter: int = 30):
+        ref = gather(pos_ref)
+
+        def sweep(_, p):
+            d = gather(p)
+            diff = jnp.sum(d * d, axis=-1, keepdims=True) - d0sq
+            denom = 2.0 * wsum * jnp.sum(d * ref, axis=-1, keepdims=True)
+            g = diff / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+            return p + scatter(g * ref)
+
+        return jax.lax.fori_loop(0, n_iter, sweep, pos)
+
+    def rattle(vel, pos, n_iter: int = 15):
+        d = gather(pos)
+        dhat = d * jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(d * d, axis=-1, keepdims=True), 1e-12)
+        )
+
+        def sweep(_, v):
+            lam = jnp.sum(gather(v) * dhat, axis=-1, keepdims=True) * winv
+            return v + scatter(lam * dhat)
+
+        return jax.lax.fori_loop(0, n_iter, sweep, vel)
+
+    return shake, rattle
+
+
+def make_batched_constrained_langevin_step(
+    force_fn,
+    masses: jnp.ndarray,
+    cons: Constraints,
+    dt_fs: float,
+    T: float,
+    gamma_ps: float = 1.0,
+    n_iter: int = 30,
+):
+    """Batched g-BAOAB constrained step over ``(R, N, 3)`` states.
+
+    Same integrator as :func:`constrained_langevin_step` (velocities
+    re-projected after every kick and the O-step, positions after every
+    drift) but the projections run as whole-batch matmuls and ``force_fn``
+    is called on the full batch — one device program per step instead of R
+    vmapped scatter chains.
+    """
+    from molecular_dynamics_tpu.integrate import _normal_like, _split_keys
+
+    n_atoms = masses.shape[0]
+    shake, rattle = make_matmul_projectors(cons, n_atoms)
+    dt = dt_fs / units.TIMEFACTOR
+    gamma = gamma_ps * (units.TIMEFACTOR / 1000.0)
+    m = masses[:, None]
+    c1 = jnp.exp(-gamma * dt)
+    v_iter = max(n_iter // 2, 5)
+
+    def step_fn(states: MDState) -> MDState:
+        # _split_keys/_normal_like already handle leading-axis key batches
+        key, noise_key = _split_keys(states.key)
+        vel = rattle(
+            states.vel + 0.5 * dt * states.forces / m, states.pos, v_iter
+        )
+        pos = shake(states.pos + 0.5 * dt * vel, states.pos, n_iter)
+        c2 = jnp.sqrt(units.BOLTZMANN * T / m * (1.0 - c1 * c1))
+        noise = _normal_like(noise_key, vel)
+        vel = rattle(c1 * vel + c2 * noise, pos, v_iter)
+        pos_mid = pos
+        pos = shake(pos + 0.5 * dt * vel, pos_mid, n_iter)
+        forces = force_fn(pos, states.box)
+        vel = rattle(vel + 0.5 * dt * forces / m, pos, v_iter)
+        return states.replace(
+            pos=pos, vel=vel, forces=forces, key=key, step=states.step + 1
+        )
+
+    return step_fn
+
+
 def constrained_temperature(ekin, n_atoms: int, n_constraints: int):
     """Kinetic temperature with 3N - C degrees of freedom."""
     dof = 3 * n_atoms - n_constraints

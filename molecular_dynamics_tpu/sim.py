@@ -180,9 +180,9 @@ def make_ensemble_step_fn(
 
     if config.constrain_h_bonds:
         from molecular_dynamics_tpu.constraints import (
-            constrained_langevin_step,
             constrained_velocity_verlet_step,
             hydrogen_bond_constraints,
+            make_batched_constrained_langevin_step,
         )
 
         cons = hydrogen_bond_constraints(ff)
@@ -194,21 +194,23 @@ def make_ensemble_step_fn(
             return -jax.vmap(grad_single)(pos, box, states.step)
 
         if config.constrain_h_bonds:
-            # SHAKE/RATTLE acts per system: vmap the constrained step over
-            # replicas with the single-system XLA force path (the fused pair
-            # kernel is batched-only and is bypassed here)
-            def single(s):
-                f1 = lambda p, b: -grad_single(p, b, s.step)
-                if config.integrator == "nve":
+            if config.integrator == "nve":
+                # RATTLE velocity-Verlet stays on the vmapped per-system path
+                def single(s):
+                    f1 = lambda p, b: -grad_single(p, b, s.step)
                     return constrained_velocity_verlet_step(
                         s, f1, ff.masses, cons, config.dt_fs
                     )
-                return constrained_langevin_step(
-                    s, f1, ff.masses, cons, config.dt_fs,
-                    config.temperature, config.gamma_ps,
-                )
 
-            return jax.vmap(single)(states)
+                return jax.vmap(single)(states)
+            # batched g-BAOAB: matmul SHAKE/RATTLE over the whole replica
+            # batch + one batched force evaluation (the fused pair kernel
+            # stays usable on the vacuum term set)
+            constrained_step = make_batched_constrained_langevin_step(
+                force_fn, ff.masses, cons, config.dt_fs,
+                config.temperature, config.gamma_ps,
+            )
+            return constrained_step(states)
 
         if config.integrator == "nve":
             return velocity_verlet_step(states, force_fn, ff.masses, config.dt_fs)

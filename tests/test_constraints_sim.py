@@ -52,3 +52,49 @@ def test_constrained_ensemble_campaign():
     dist = np.linalg.norm(np.asarray(d), axis=-1)
     err = np.abs(dist - np.asarray(cons.lengths)[None, :])
     assert err.max() < 1e-3
+
+
+def test_batched_constrained_step_matches_vmapped():
+    """The matmul-projection batched g-BAOAB equals the per-system scatter
+    implementation (same Jacobi fixed point, T=0 deterministic)."""
+    from molecular_dynamics_tpu.examples import decaalanine_full
+    from molecular_dynamics_tpu.constraints import (
+        constrained_langevin_step,
+        make_batched_constrained_langevin_step,
+    )
+
+    ff, coords, _ = decaalanine_full()
+    cons = hydrogen_bond_constraints(ff)
+    pot = lambda q: total_energy(q, ff, config=REFERENCE_CONFIG)
+    force1 = lambda p, b: -jax.grad(pot)(p)
+    pos = jax.jit(
+        lambda p: minimize_fire(
+            p, lambda q: force1(q, None), n_steps=300,
+            dt_start=1e-3, dt_max=1e-2,
+        )
+    )(jnp.asarray(coords, jnp.float32))
+    vel = maxwell_boltzmann(jax.random.PRNGKey(0), ff.masses, 300.0)
+    state = system_init(pos, vel=vel.astype(jnp.float32), key=jax.random.PRNGKey(1))
+    state = initialize_forces(state, force1)
+    ens = replicate(state, 3, seed=2)
+
+    batched_force = lambda p, b: -jax.vmap(jax.grad(pot))(p)
+    batched = make_batched_constrained_langevin_step(
+        batched_force, ff.masses, cons, dt_fs=2.0, T=0.0, gamma_ps=1.0
+    )
+    out_b = jax.jit(batched)(ens)
+
+    single = jax.jit(
+        jax.vmap(
+            lambda s: constrained_langevin_step(
+                s, force1, ff.masses, cons, dt_fs=2.0, T=0.0, gamma_ps=1.0
+            )
+        )
+    )
+    out_v = single(ens)
+    np.testing.assert_allclose(
+        np.asarray(out_b.pos), np.asarray(out_v.pos), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_b.vel), np.asarray(out_v.vel), atol=5e-4
+    )
