@@ -35,7 +35,11 @@ from molecular_dynamics_tpu import (
     minimize_fire,
     system_init,
 )
-from molecular_dynamics_tpu.energy import REFERENCE_CONFIG, total_energy
+from molecular_dynamics_tpu.energy import (
+    GBIS_POLAR_CONFIG,
+    REFERENCE_CONFIG,
+    total_energy,
+)
 from molecular_dynamics_tpu.examples import decaalanine_full
 from molecular_dynamics_tpu.integrate import initialize_forces
 from molecular_dynamics_tpu.sim import SimulationConfig, make_ensemble_step_fn
@@ -50,8 +54,14 @@ def main():
     ff, coords, _ = decaalanine_full(dtype=jnp.float32)
     n_atoms = ff.n_atoms
 
+    # MDX_BENCH_GBIS=1 benches the full NAMD implicit-solvent protocol
+    # (gbis on, gendirs_GBIS.py:55-63) with in-kernel GB-OBC ring passes;
+    # default is the vacuum torchmd-parity config.
+    gbis = os.environ.get("MDX_BENCH_GBIS", "0") == "1"
+    e_cfg = GBIS_POLAR_CONFIG if gbis else REFERENCE_CONFIG
+
     force = lambda p: -jax.grad(
-        lambda q: total_energy(q, ff, config=REFERENCE_CONFIG)
+        lambda q: total_energy(q, ff, config=e_cfg)
     )(p)
     pos = jax.jit(
         lambda p: minimize_fire(p, force, n_steps=500, dt_start=0.001, dt_max=0.01)
@@ -69,7 +79,10 @@ def main():
         dt_fs=2.0,
         temperature=300.0,
         gamma_ps=1.0,
-        fused_nonbonded=os.environ.get("MDX_BENCH_FUSED", "1") == "1",
+        energy=e_cfg,
+        fused_nonbonded=(
+            os.environ.get("MDX_BENCH_FUSED", "1") == "1" and not gbis
+        ),
         kernel_variant=os.environ.get("MDX_BENCH_KERNEL", "ring"),
         kernel_block_r=int(os.environ.get("MDX_BENCH_BLOCK_R", 0)),
         fused_campaign=os.environ.get("MDX_BENCH_CAMPAIGN", "1") == "1",
@@ -91,11 +104,16 @@ def main():
         campaign = make_fused_campaign_op(
             ff, n_inner=int(os.environ.get("MDX_BENCH_INNER", 50)),
             dt_fs=cfg.dt_fs, temperature=cfg.temperature,
-            gamma_ps=cfg.gamma_ps, bias=bias,
+            gamma_ps=cfg.gamma_ps,
+            cutoff=e_cfg.cutoff, switch_dist=e_cfg.switch_dist,
+            rfa=e_cfg.rfa, solvent_dielectric=e_cfg.solvent_dielectric,
+            bias=bias,
             constraints=cons,
             shake_iters=int(os.environ.get("MDX_BENCH_SHAKE_ITERS", 6)),
             rattle_iters=int(os.environ.get("MDX_BENCH_RATTLE_ITERS", 3)),
-            block_r=int(os.environ.get("MDX_BENCH_CBLOCK", 128)),
+            gb=gbis,
+            ion_concentration=e_cfg.ion_concentration if gbis else 0.0,
+            block_r=int(os.environ.get("MDX_BENCH_CBLOCK", 128 if not gbis else 64)),
         )
     else:
         cfg = dataclasses.replace(cfg, constrain_h_bonds=cons is not None)
@@ -105,7 +123,7 @@ def main():
     state = initialize_forces(
         state,
         lambda p, b: -jax.grad(
-            lambda q: total_energy(q, ff, config=REFERENCE_CONFIG)
+            lambda q: total_energy(q, ff, config=e_cfg)
             + bias.energy(q, 0)
         )(p),
     )
@@ -148,9 +166,10 @@ def main():
         json.dumps(
             {
                 "metric": (
-                    "decaalanine_104atom_langevin_smd_rigidbonds_steps_per_sec_1024rep"
-                    if cons is not None
-                    else "decaalanine_104atom_langevin_smd_steps_per_sec_1024rep"
+                    ("decaalanine_104atom_langevin_smd_gbis" if gbis
+                     else "decaalanine_104atom_langevin_smd")
+                    + ("_rigidbonds" if cons is not None else "")
+                    + "_steps_per_sec_1024rep"
                 ),
                 "value": round(steps_per_sec, 1),
                 "unit": "steps/sec (aggregate)",

@@ -108,6 +108,19 @@ GBIS_CONFIG = EnergyConfig(
     ion_concentration=0.1,
 )
 
+#: GBIS polar-only variant (``gbis on`` without ``sasa on``): the term set
+#: the fused campaign kernel evaluates fully in-kernel (GB Born-radii /
+#: Still-pair / descreening-chain ring passes). The ~0.005 kcal/mol/A^2
+#: LCPO nonpolar term needs the composed XLA path (GBIS_CONFIG).
+GBIS_POLAR_CONFIG = EnergyConfig(
+    terms=DEFAULT_TERMS + ("gb",),
+    cutoff=16.0,
+    rfa=False,
+    switch_dist=15.0,
+    solvent_dielectric=80.0,
+    ion_concentration=0.1,
+)
+
 
 # ---------------------------------------------------------------------------
 # geometry primitives

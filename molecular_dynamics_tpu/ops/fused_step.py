@@ -152,6 +152,105 @@ def _torsion_tables(ff: FFParams, n_pad: int):
     )
 
 
+def _hct_pair(d, dinv, rho_i, rho_inv_i, s_j, live, deriv: bool):
+    """HCT pairwise-descreening integral I(d) (and optionally dI/dd).
+
+    Identical math to ``solvent.born_radii`` (the OBC II descreening sum):
+    atom i (intrinsic radius-offset ``rho_i``) descreened by atom j's scaled
+    sphere ``s_j``. ``dinv`` must be a safe 1/d (callers pass 1 where the
+    pair is dead); results are zeroed outside ``live``/``contrib``. The
+    derivative is the exact piecewise-analytic d/dd of the integral — the
+    same function jax.grad of the composed path produces a.e.
+    """
+    up = d + s_j
+    ad = jnp.abs(d - s_j)
+    use_rho = ad < rho_i
+    lo = jnp.where(use_rho, rho_i, ad)
+    contrib = live & (rho_i < up)
+    up_s = jnp.where(contrib, up, 1.0)
+    lo_s = jnp.where(contrib, lo, 1.0)
+    ui = 1.0 / up_s
+    li = 1.0 / lo_s
+    s2d = s_j * s_j * dinv
+    lnlu = jnp.log(lo_s * ui)
+    inside = contrib & (rho_i < s_j - d)
+    integral = (
+        li - ui
+        + 0.25 * (d - s2d) * (ui * ui - li * li)
+        + 0.5 * lnlu * dinv
+    )
+    integral = integral + jnp.where(
+        inside, 2.0 * (rho_inv_i - li), 0.0
+    )
+    integral = jnp.where(contrib, integral, 0.0)
+    if not deriv:
+        return integral, None
+    lop = jnp.where(
+        use_rho, 0.0, jnp.where(d > s_j, 1.0, -1.0)
+    )  # dlo/dd
+    dI = (
+        -lop * li * li
+        + ui * ui
+        + 0.25 * (1.0 + s2d * dinv) * (ui * ui - li * li)
+        + 0.5 * (d - s2d) * (lop * li * li * li - ui * ui * ui)
+        + 0.5 * (lop * li - ui) * dinv
+        - 0.5 * lnlu * dinv * dinv
+    )
+    dI = dI + jnp.where(inside, 2.0 * lop * li * li, 0.0)
+    dI = jnp.where(contrib, dI, 0.0)
+    return integral, dI
+
+
+def _gb_tables(ff: FFParams, n_pad: int):
+    """Ring-layout GB tables (OBC II + Still pair energy, solvent.py).
+
+    GB has *no* exclusions: every real-real pair contributes to the Born
+    integral and the Still sum, so the mask/charge tables are dense over
+    real atoms (0.5 on the halfway shift row, which visits each pair twice).
+    Ghost lanes get rho=1, s=0, q=0 — inert by construction.
+    """
+    from molecular_dynamics_tpu.solvent import GB_OFFSET
+
+    n = ff.n_atoms
+    n_shifts = n_pad // 2
+    radii = np.ones(n_pad, np.float32)
+    radii[:n] = np.asarray(ff.gb_radii, np.float32)
+    screen = np.zeros(n_pad, np.float32)
+    screen[:n] = np.asarray(ff.gb_screen, np.float32)
+    q = np.zeros(n_pad, np.float32)
+    q[:n] = np.asarray(ff.charges, np.float32)
+    rho = radii - GB_OFFSET
+    rho[n:] = 1.0
+    s = screen * rho
+    real = np.zeros(n_pad, np.float32)
+    real[:n] = 1.0
+
+    i_idx = np.arange(n_pad)
+
+    def ring_rows(vec):
+        rows = np.zeros((n_shifts, n_pad), np.float32)
+        for k in range(1, n_shifts + 1):
+            rows[k - 1] = vec[(i_idx + k) % n_pad]
+        return rows
+
+    gm = ring_rows(real) * real[None, :]
+    gm[n_shifts - 1] *= 0.5
+    qqg = units.ELEC_FACTOR * q[None, :] * ring_rows(q)
+    qqg[n_shifts - 1] *= 0.5
+    shift_tables = (qqg, gm, ring_rows(s), ring_rows(rho), ring_rows(1.0 / rho))
+    lane_tables = (
+        rho[None, :],
+        (1.0 / rho)[None, :],
+        s[None, :],
+        (1.0 / radii)[None, :],
+        (units.ELEC_FACTOR * q * q)[None, :],
+    )
+    return (
+        tuple(jnp.asarray(t, jnp.float32) for t in shift_tables),
+        tuple(jnp.asarray(t, jnp.float32) for t in lane_tables),
+    )
+
+
 def _constraint_tables(cons, n_pad: int):
     """Gather/scatter matrices + lane rows for the in-kernel projections.
 
@@ -207,10 +306,12 @@ def make_fused_campaign_op(
     constraints=None,  # a constraints.Constraints -> SHAKE/RATTLE in-kernel
     shake_iters: int = 6,
     rattle_iters: int = 3,
+    gb: bool = False,  # in-kernel GB-OBC II implicit solvent (NAMD GBIS)
+    ion_concentration: float = 0.0,
     block_r: int = 64,
     interpret: bool = False,
 ):
-    """Build ``advance(pos, vel, forces, t0, seed) -> (pos, vel, forces)``.
+    """Build ``advance(pos, vel, forces, t0, seed) -> (pos, vel, frc)``.
 
     Advances every replica ``n_inner`` BAOAB Langevin steps in one Pallas
     launch. ``bias`` (a HarmonicSMDBias or None) contributes its analytic
@@ -219,6 +320,14 @@ def make_fused_campaign_op(
     X-H star clusters converge geometrically (Jacobi contraction ratio
     ~w_heavy/(w_heavy+w_H) ≈ 0.08), so the default sweep counts sit at the
     f32 noise floor (violations ~3e-7 A, measured 10-step rollout).
+    ``gb=True`` adds the GB-OBC II polar solvation force (the physics of
+    NAMD's ``gbis on``, gendirs_GBIS.py:55-63, matching
+    ``solvent.gb_energy``) as three extra ring passes per force call:
+    Born radii (HCT descreening + OBC rescaling), the Still pair force with
+    per-atom dE/dR accumulation, and the descreening chain-rule pass.
+    Requires ``ff`` with GB tables attached; ``solvent_dielectric`` and
+    ``ion_concentration`` feed the Debye-screened prefactor. The LCPO SASA
+    nonpolar term is NOT in-kernel (composed path only).
     Arrays are (R, N, 3); t0 int32 scalar; seed int32 scalar.
     """
     n = ff.n_atoms
@@ -288,6 +397,37 @@ def make_fused_campaign_op(
     else:
         cons_tables, c_pad = (), 0
 
+    use_gb = bool(gb)
+    if use_gb:
+        if not ff.has_gb:
+            raise ValueError(
+                "gb=True needs GB tables on the FFParams "
+                "(solvent.attach_gb_params)"
+            )
+        from molecular_dynamics_tpu.solvent import (
+            KAPPA_FACTOR,
+            OBC_ALPHA,
+            OBC_BETA,
+            OBC_GAMMA,
+        )
+
+        gb_shift_tables, gb_lane_tables = _gb_tables(ff, n_pad)
+        inv_eps_s = float(1.0 / solvent_dielectric)
+        # Debye kappa at the gb_energy default reference temperature (300 K)
+        gb_kappa = (
+            float(
+                KAPPA_FACTOR
+                * (ion_concentration / (solvent_dielectric * 300.0)) ** 0.5
+            )
+            if ion_concentration > 0.0
+            else 0.0
+        )
+        obc_a, obc_b, obc_g = (
+            float(OBC_ALPHA), float(OBC_BETA), float(OBC_GAMMA),
+        )
+    else:
+        gb_shift_tables, gb_lane_tables = (), ()
+
     ring_kw = dict(
         n_shifts=n_shifts,
         cutoff2=float(cutoff) ** 2,
@@ -316,6 +456,12 @@ def make_fused_campaign_op(
         if use_cons:
             ccd_ref, ccs_ref, cwsum_ref, cwinv_ref, cd0_ref = rest[:5]
             rest = rest[5:]
+        if use_gb:
+            (
+                gqq_ref, ggm_ref, gsp_ref, grp_ref, grpi_ref,
+                grho_ref, grhoi_ref, gsrow_ref, gradi_ref, gqs_ref,
+            ) = rest[:10]
+            rest = rest[10:]
         (
             ox_ref, oy_ref, oz_ref, ovx_ref, ovy_ref, ovz_ref,
             ofx_ref, ofy_ref, ofz_ref,
@@ -401,8 +547,214 @@ def make_fused_campaign_op(
                     0, rattle_iters, sweep, (vx, vy, vz)
                 )
 
+        if use_gb:
+            grho = grho_ref[:]
+            grhoi = grhoi_ref[:]
+            gsrow = gsrow_ref[:]
+            gradi = gradi_ref[:]
+            gqs = gqs_ref[:]
+            one = jnp.int32(1)
+            ring_start = jnp.int32(n_pad - n_shifts)
+
+            # The GB passes loop over shifts with lax.fori_loop + dynamic
+            # table-row loads (NOT the static unroll the main pair loop
+            # uses): three extra unrolled 64-shift passes per step made the
+            # jaxpr/Mosaic program explode (>10x compile time).
+            def _grow(ref, i):
+                return ref[pl.ds(n_shifts - 1 - i, 1), :]
+
+            def born_pass(x, y, z):
+                # HCT descreening sums -> psi -> OBC II Born radii + dR/dpsi
+                def body(i, carry):
+                    xs, ys, zs, sum_i, rev = carry
+                    mrow = _grow(ggm_ref, i)
+                    s_j = _grow(gsp_ref, i)
+                    rho_j = _grow(grp_ref, i)
+                    rhoi_j = _grow(grpi_ref, i)
+                    dx = x - xs
+                    dy = y - ys
+                    dz = z - zs
+                    d2 = dx * dx + dy * dy + dz * dz
+                    live = mrow > 0.0
+                    d2s = jnp.where(live, d2, 1.0)
+                    dinv = jax.lax.rsqrt(d2s)
+                    d = d2s * dinv
+                    i_f, _ = _hct_pair(
+                        d, dinv, grho, grhoi, s_j, live, False
+                    )
+                    i_r, _ = _hct_pair(
+                        d, dinv, rho_j, rhoi_j, gsrow, live, False
+                    )
+                    sum_i = sum_i + mrow * i_f
+                    rev = pltpu.roll(rev, one, 1) + mrow * i_r
+                    return (
+                        pltpu.roll(xs, one, 1),
+                        pltpu.roll(ys, one, 1),
+                        pltpu.roll(zs, one, 1),
+                        sum_i,
+                        rev,
+                    )
+
+                z0 = jnp.zeros_like(x)
+                _, _, _, sum_i, rev = jax.lax.fori_loop(
+                    0,
+                    n_shifts,
+                    body,
+                    (
+                        pltpu.roll(x, ring_start, 1),
+                        pltpu.roll(y, ring_start, 1),
+                        pltpu.roll(z, ring_start, 1),
+                        z0,
+                        z0,
+                    ),
+                )
+                sum_i = sum_i + pltpu.roll(rev, one, 1)
+                psi = 0.5 * grho * sum_i
+                h = psi * (obc_a + psi * (-obc_b + obc_g * psi))
+                th = jnp.tanh(h)
+                born = 1.0 / (grhoi - th * gradi)
+                hp = obc_a + psi * (-2.0 * obc_b + 3.0 * obc_g * psi)
+                d_born_dpsi = born * born * (1.0 - th * th) * hp * gradi
+                return born, d_born_dpsi
+
+            def _gb_uprime(f, finv):
+                # d/df of u(f) = (1 - exp(-kappa f)/eps_s)/f  [x ELEC via qq]
+                if gb_kappa > 0.0:
+                    es = inv_eps_s * jnp.exp(-gb_kappa * f)
+                    return (es * (1.0 + gb_kappa * f) - 1.0) * finv * finv
+                return (inv_eps_s - 1.0) * finv * finv
+
+            def gb_pair_pass(x, y, z, born):
+                # Still pair force (direct d-part) + per-atom dE/dR sums
+                def body(i, carry):
+                    xs, ys, zs, bs, fx, fy, fz, ax, ay, az, der, rev = carry
+                    qq = _grow(gqq_ref, i)
+                    mrow = _grow(ggm_ref, i)
+                    dx = x - xs
+                    dy = y - ys
+                    dz = z - zs
+                    d2 = dx * dx + dy * dy + dz * dz
+                    live = mrow > 0.0
+                    d2s = jnp.where(live, d2, 1.0)
+                    rinv = jax.lax.rsqrt(d2s)
+                    d = d2s * rinv
+                    bb = born * bs
+                    ex = jnp.exp(-0.25 * d2s / bb)
+                    f2 = d2s + bb * ex
+                    finv = jax.lax.rsqrt(f2)
+                    f = f2 * finv
+                    upr = _gb_uprime(f, finv)
+                    nqu = -qq * upr
+                    coeff = nqu * (d * (1.0 - 0.25 * ex) * finv) * rinv
+                    cx = coeff * dx
+                    cy = coeff * dy
+                    cz = coeff * dz
+                    half_ex_finv = 0.5 * ex * finv
+                    der = der + nqu * (bs + 0.25 * d2s / born) * half_ex_finv
+                    rev = pltpu.roll(rev, one, 1) + nqu * (
+                        born + 0.25 * d2s / bs
+                    ) * half_ex_finv
+                    return (
+                        pltpu.roll(xs, one, 1),
+                        pltpu.roll(ys, one, 1),
+                        pltpu.roll(zs, one, 1),
+                        pltpu.roll(bs, one, 1),
+                        fx - cx, fy - cy, fz - cz,
+                        pltpu.roll(ax, one, 1) + cx,
+                        pltpu.roll(ay, one, 1) + cy,
+                        pltpu.roll(az, one, 1) + cz,
+                        der, rev,
+                    )
+
+                z0 = jnp.zeros_like(x)
+                (_, _, _, _, fx, fy, fz, ax, ay, az, der, rev) = (
+                    jax.lax.fori_loop(
+                        0,
+                        n_shifts,
+                        body,
+                        (
+                            pltpu.roll(x, ring_start, 1),
+                            pltpu.roll(y, ring_start, 1),
+                            pltpu.roll(z, ring_start, 1),
+                            pltpu.roll(born, ring_start, 1),
+                            z0, z0, z0, z0, z0, z0, z0, z0,
+                        ),
+                    )
+                )
+                fx = fx + pltpu.roll(ax, one, 1)
+                fy = fy + pltpu.roll(ay, one, 1)
+                fz = fz + pltpu.roll(az, one, 1)
+                der = der + pltpu.roll(rev, one, 1)
+                # Born self terms E_ii = -1/2 ke q_i^2 u(R_i)
+                born_inv = 1.0 / born
+                der = der - 0.5 * gqs * _gb_uprime(born, born_inv)
+                return fx, fy, fz, der
+
+            def gb_chain_pass(x, y, z, ce):
+                # dE/dR * dR/dpsi * dpsi/dd distributed over pairs
+                def body(i, carry):
+                    xs, ys, zs, ces, fx, fy, fz, ax, ay, az = carry
+                    mrow = _grow(ggm_ref, i)
+                    s_j = _grow(gsp_ref, i)
+                    rho_j = _grow(grp_ref, i)
+                    rhoi_j = _grow(grpi_ref, i)
+                    dx = x - xs
+                    dy = y - ys
+                    dz = z - zs
+                    d2 = dx * dx + dy * dy + dz * dz
+                    live = mrow > 0.0
+                    d2s = jnp.where(live, d2, 1.0)
+                    rinv = jax.lax.rsqrt(d2s)
+                    d = d2s * rinv
+                    _, di_f = _hct_pair(
+                        d, rinv, grho, grhoi, s_j, live, True
+                    )
+                    _, di_r = _hct_pair(
+                        d, rinv, rho_j, rhoi_j, gsrow, live, True
+                    )
+                    coeff = mrow * (ce * di_f + ces * di_r) * rinv
+                    cx = coeff * dx
+                    cy = coeff * dy
+                    cz = coeff * dz
+                    return (
+                        pltpu.roll(xs, one, 1),
+                        pltpu.roll(ys, one, 1),
+                        pltpu.roll(zs, one, 1),
+                        pltpu.roll(ces, one, 1),
+                        fx - cx, fy - cy, fz - cz,
+                        pltpu.roll(ax, one, 1) + cx,
+                        pltpu.roll(ay, one, 1) + cy,
+                        pltpu.roll(az, one, 1) + cz,
+                    )
+
+                z0 = jnp.zeros_like(x)
+                (_, _, _, _, fx, fy, fz, ax, ay, az) = jax.lax.fori_loop(
+                    0,
+                    n_shifts,
+                    body,
+                    (
+                        pltpu.roll(x, ring_start, 1),
+                        pltpu.roll(y, ring_start, 1),
+                        pltpu.roll(z, ring_start, 1),
+                        pltpu.roll(ce, ring_start, 1),
+                        z0, z0, z0, z0, z0, z0,
+                    ),
+                )
+                fx = fx + pltpu.roll(ax, one, 1)
+                fy = fy + pltpu.roll(ay, one, 1)
+                fz = fz + pltpu.roll(az, one, 1)
+                return fx, fy, fz
+
         def forces(x, y, z, t_step):
             fx, fy, fz, _ = ring_pair_forces(x, y, z, pair_tabs, **ring_kw)
+            if use_gb:
+                born, d_born_dpsi = born_pass(x, y, z)
+                gfx, gfy, gfz, der = gb_pair_pass(x, y, z, born)
+                ce = der * d_born_dpsi * (0.5 * grho)
+                cfx, cfy, cfz = gb_chain_pass(x, y, z, ce)
+                fx = fx + gfx + cfx
+                fy = fy + gfy + cfy
+                fz = fz + gfz + cfz
 
             # --- angles: analytic 3-centre forces (forces.py:519-535) ---
             r21x = _mm(x, ad21)
@@ -639,6 +991,11 @@ def make_fused_campaign_op(
                 bcast((n_pad, c_pad)), bcast((c_pad, n_pad)),
                 bcast((1, c_pad)), bcast((1, c_pad)), bcast((1, c_pad)),
             ]
+        if use_gb:
+            in_tabs += list(gb_shift_tables) + list(gb_lane_tables)
+            tab_specs += [bcast((n_shifts, n_pad))] * 5 + [
+                bcast((1, n_pad))
+            ] * 5
 
         out_shape = [jax.ShapeDtypeStruct((r, n_pad), jnp.float32)] * 9
         outs = pl.pallas_call(

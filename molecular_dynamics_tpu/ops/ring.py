@@ -166,10 +166,15 @@ def build_ring_tables(
 ):
     """Per-shift ring tables: row k-1, lane i = dense_table[i, (i+k) % L].
 
-    The half-way shift (k = L/2) covers each pair twice, so every *scaling*
-    table's last row is halved (mask, LJ A/B, qq, bond k, 1-4 tables); the
-    geometric d0 row is left alone. Shared by the standalone ring kernel and
-    the fully-fused campaign kernel so the physics lives once.
+    The half-way shift (k = L/2) covers each pair twice, so each term's
+    contribution must be halved on that row — applied exactly ONCE per
+    term: the cutoff mask (3) halves the elec+LJ branch (the kernel
+    multiplies ``m * (pot_e + pot_l)``, so halving qq/A/B too would
+    quarter them), and the unmasked branches halve their own scale tables
+    (bond k, 1-4 A/B/qq). Geometric tables (qq(0)/A(1)/B(2) already
+    covered via the mask, bond d0(5)) stay whole. Shared by the standalone
+    ring kernel and the fully-fused campaign kernel so the physics lives
+    once.
     """
     dense = [np.asarray(t) for t in _build_pair_tables(ff, include_ub, n_pad)]
     if not include_bonds:
@@ -180,12 +185,13 @@ def build_ring_tables(
             dense[idx] = np.zeros_like(dense[idx])
     n_shifts = n_pad // 2
     i_idx = np.arange(n_pad)
+    halve = {3, 4, 6, 7, 8}  # mask, bond k, 1-4 A/B/qq
     out = []
     for t_i, t in enumerate(dense):
         rows = np.zeros((n_shifts, n_pad), np.float32)
         for k in range(1, n_shifts + 1):
             rows[k - 1] = t[i_idx, (i_idx + k) % n_pad]
-        if t_i != 5:  # every scaling table; 5 = bond d0 (a length, not a scale)
+        if t_i in halve:
             rows[n_shifts - 1] *= 0.5
         out.append(jnp.asarray(rows))
     return tuple(out)

@@ -310,13 +310,16 @@ def simulate_ensemble(
     n_saves = n_steps // save_every
     obs_fn = functools.partial(_observables, ff=ff, config=config, bias=bias)
 
+    term_set = set(config.energy.terms)
+    campaign_gb = term_set == set(DEFAULT_TERMS) | {"gb"} and ff.has_gb
     use_campaign = (
         config.fused_campaign
         and config.integrator == "langevin"
         and not config.pbc
-        # the campaign kernel covers exactly the default term set; GB/SASA
-        # or reduced-term configs run on the composed XLA path
-        and set(config.energy.terms) == set(DEFAULT_TERMS)
+        # the campaign kernel covers the default term set, optionally plus
+        # in-kernel GB (GBIS polar); SASA or reduced-term configs run on
+        # the composed XLA path
+        and (term_set == set(DEFAULT_TERMS) or campaign_gb)
     )
     if use_campaign:
         from molecular_dynamics_tpu.ops.fused_step import (
@@ -347,6 +350,8 @@ def simulate_ensemble(
             include_ub=resolve_urey_bradley(config.energy, ff),
             bias=bias,
             constraints=cons,
+            gb=campaign_gb,
+            ion_concentration=config.energy.ion_concentration,
         )
 
         @jax.jit
@@ -385,25 +390,34 @@ def simulate_ensemble(
     return final, frames, log
 
 
-def smd_campaign_config(implicit_solvent: bool = False) -> Tuple[SimulationConfig, dict]:
+def smd_campaign_config(
+    implicit_solvent: bool = False, sasa: bool = True
+) -> Tuple[SimulationConfig, dict]:
     """The reference SMD data-generation protocol as config values:
     Langevin 300 K damping 1/ps, 2 fs steps, 500k steps, frames every 50,
     colvar 12 -> 34 A over the run (gendirs_GBIS.py:44-131).
 
-    ``implicit_solvent=True`` switches the energy to the full NAMD-campaign
-    physics — GBIS + SASA with 0.1 M salt (``gbis on / sasa on``,
-    gendirs_GBIS.py:55-68) and rigid H bonds — instead of the vacuum
-    torchmd-parity config. The GB campaign runs on the composed XLA path
-    (the fused campaign kernel covers the vacuum term set only).
+    ``implicit_solvent=True`` switches the energy to the NAMD-campaign
+    physics — GBIS with 0.1 M salt (``gbis on``, gendirs_GBIS.py:55-63)
+    and rigid H bonds — instead of the vacuum torchmd-parity config.
+    ``sasa=True`` (default) adds the LCPO nonpolar term (``sasa on``) and
+    runs on the composed XLA path; ``sasa=False`` selects the polar-only
+    GBIS config, which the fused campaign kernel evaluates fully in-kernel
+    (``fused_campaign=True``).
     """
-    from molecular_dynamics_tpu.energy import GBIS_CONFIG
+    from molecular_dynamics_tpu.energy import GBIS_CONFIG, GBIS_POLAR_CONFIG
 
+    if implicit_solvent:
+        e_cfg = GBIS_CONFIG if sasa else GBIS_POLAR_CONFIG
+    else:
+        e_cfg = REFERENCE_CONFIG
     sim = SimulationConfig(
         dt_fs=2.0,
         temperature=300.0,
         gamma_ps=1.0,
-        energy=GBIS_CONFIG if implicit_solvent else REFERENCE_CONFIG,
+        energy=e_cfg,
         constrain_h_bonds=implicit_solvent,
+        fused_campaign=implicit_solvent and not sasa,
     )
     colvar = {
         "fk": 1.0,

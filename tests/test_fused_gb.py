@@ -1,0 +1,193 @@
+"""In-kernel GB-OBC implicit solvent: parity with the composed GB path.
+
+The fused campaign kernel's ``gb=True`` passes (Born radii, Still pair
+force, descreening chain rule) must reproduce the XLA composed path
+(``solvent.gb_energy`` via ``energy_terms`` + ``jax.grad``) — the same
+physics NAMD's ``gbis on`` applies during the reference data-generation
+campaign (gendirs_GBIS.py:55-63).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from molecular_dynamics_tpu import (
+    maxwell_boltzmann,
+    minimize_fire,
+    total_energy,
+)
+from molecular_dynamics_tpu import units
+from molecular_dynamics_tpu.energy import GBIS_POLAR_CONFIG
+from molecular_dynamics_tpu.ops.fused_step import (
+    _hct_pair,
+    make_fused_campaign_op,
+)
+
+
+@pytest.fixture(scope="module")
+def gb_system():
+    from molecular_dynamics_tpu.examples import decaalanine_full
+
+    ff, coords, _ = decaalanine_full()
+    assert ff.has_gb
+    force = lambda p: -jax.grad(
+        lambda q: total_energy(q, ff, config=GBIS_POLAR_CONFIG)
+    )(p)
+    pos = jax.jit(
+        lambda p: minimize_fire(
+            p, force, n_steps=400, dt_start=1e-3, dt_max=1e-2
+        )
+    )(jnp.asarray(coords, jnp.float32))
+    return ff, pos
+
+
+class TestHCTPair:
+    def test_integral_matches_born_radii(self, gb_system):
+        """Dense (N, N) evaluation of _hct_pair reproduces the Born radii
+        of solvent.born_radii exactly (same formulas, different layout)."""
+        from molecular_dynamics_tpu.solvent import (
+            GB_OFFSET,
+            OBC_ALPHA,
+            OBC_BETA,
+            OBC_GAMMA,
+            born_radii,
+        )
+
+        ff, pos = gb_system
+        pos = pos.astype(jnp.float64)
+        n = ff.n_atoms
+        radii = jnp.asarray(ff.gb_radii, jnp.float64)
+        rho = radii - GB_OFFSET
+        s = jnp.asarray(ff.gb_screen, jnp.float64) * rho
+        delta = pos[:, None, :] - pos[None, :, :]
+        off = ~np.eye(n, dtype=bool)
+        d2 = jnp.sum(delta * delta, axis=-1)
+        d = jnp.sqrt(jnp.where(off, d2, 1.0))
+        dinv = 1.0 / d
+        integral, _ = _hct_pair(
+            d, dinv, rho[:, None], (1.0 / rho)[:, None], s[None, :],
+            jnp.asarray(off), False,
+        )
+        psi = 0.5 * rho * jnp.sum(integral, axis=1)
+        th = jnp.tanh(psi * (OBC_ALPHA + psi * (-OBC_BETA + OBC_GAMMA * psi)))
+        born = 1.0 / (1.0 / rho - th / radii)
+        ref = born_radii(pos, ff)
+        # ff.gb_radii is stored f32, so the two evaluations agree to the
+        # f32 rounding floor, not machine-f64
+        np.testing.assert_allclose(
+            np.asarray(born), np.asarray(ref), rtol=5e-6
+        )
+
+    def test_derivative_matches_autodiff(self):
+        """The hand-rolled dI/dd equals jax.grad of the integral across all
+        piecewise regions (lo clamped at rho, |d-s| branch, inside-sphere
+        correction)."""
+        rho = jnp.float64(1.4)
+        rho_inv = 1.0 / rho
+        live = jnp.array(True)
+
+        def integral_of(d, s):
+            out, _ = _hct_pair(
+                d, 1.0 / d, rho, rho_inv, s, live, False
+            )
+            return out
+
+        for s in (0.3, 1.0, 2.5):  # s < rho, s ~ rho, s > rho (inside region)
+            s = jnp.float64(s)
+            # avoid the non-differentiable boundary points themselves
+            for d in np.concatenate(
+                [np.linspace(0.2, 6.0, 41), [s + 1e-3, s - 1e-3]]
+            ):
+                d = jnp.float64(abs(float(d)))
+                _, dI = _hct_pair(d, 1.0 / d, rho, rho_inv, s, live, True)
+                gref = jax.grad(integral_of)(d, s)
+                np.testing.assert_allclose(
+                    float(dI), float(gref), rtol=1e-8, atol=1e-12,
+                    err_msg=f"d={float(d)}, s={float(s)}",
+                )
+
+
+class TestFusedGBCampaign:
+    def test_single_step_matches_composed(self, gb_system):
+        """One T=0 BAOAB step with in-kernel GB == the composed XLA step
+        with GBIS_POLAR_CONFIG (Born radii + Still energy through
+        jax.grad)."""
+        ff, pos = gb_system
+        n = ff.n_atoms
+        adv = make_fused_campaign_op(
+            ff, n_inner=1, dt_fs=1.0, temperature=0.0, gamma_ps=1.0,
+            cutoff=GBIS_POLAR_CONFIG.cutoff,
+            switch_dist=GBIS_POLAR_CONFIG.switch_dist,
+            rfa=GBIS_POLAR_CONFIG.rfa,
+            solvent_dielectric=GBIS_POLAR_CONFIG.solvent_dielectric,
+            gb=True,
+            ion_concentration=GBIS_POLAR_CONFIG.ion_concentration,
+            block_r=8, interpret=True,
+        )
+        vel = maxwell_boltzmann(jax.random.PRNGKey(0), ff.masses, 300.0)
+        R = 4
+        pos_b = jnp.broadcast_to(pos, (R, n, 3)).astype(jnp.float32)
+        vel_b = jnp.broadcast_to(vel, (R, n, 3)).astype(jnp.float32)
+        pot = lambda q: total_energy(q, ff, config=GBIS_POLAR_CONFIG)
+        f0 = jax.vmap(lambda p: -jax.grad(pot)(p))(pos_b)
+        p1, v1, f1 = jax.jit(
+            lambda a, b, c: adv(a, b, c, jnp.int32(0), jnp.int32(1))
+        )(pos_b, vel_b, f0)
+
+        dt = 1.0 / units.TIMEFACTOR
+        gamma = 1.0 * (units.TIMEFACTOR / 1000.0)
+        c1 = float(np.exp(-gamma * dt))
+        m = jnp.asarray(ff.masses, jnp.float32)[:, None]
+        vv = vel_b + 0.5 * dt * f0 / m
+        xx = pos_b + 0.5 * dt * vv
+        vv = c1 * vv
+        xx = xx + 0.5 * dt * vv
+        f_new = jax.vmap(lambda p: -jax.grad(pot)(p))(xx)
+        vv = vv + 0.5 * dt * f_new / m
+
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(xx), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(vv), atol=5e-3)
+        np.testing.assert_allclose(
+            np.asarray(f1), np.asarray(f_new), atol=0.15
+        )
+
+    def test_gbis_protocol_campaign_runs(self, gb_system):
+        """The full in-kernel GBIS protocol (GB + rigid bonds, 2 fs) stays
+        finite and keeps constraints satisfied over a multi-step segment."""
+        from molecular_dynamics_tpu.constraints import (
+            hydrogen_bond_constraints,
+        )
+
+        ff, pos = gb_system
+        n = ff.n_atoms
+        cons = hydrogen_bond_constraints(ff)
+        adv = make_fused_campaign_op(
+            ff, n_inner=5, dt_fs=2.0, temperature=0.0, gamma_ps=1.0,
+            cutoff=GBIS_POLAR_CONFIG.cutoff,
+            switch_dist=GBIS_POLAR_CONFIG.switch_dist,
+            rfa=GBIS_POLAR_CONFIG.rfa,
+            solvent_dielectric=GBIS_POLAR_CONFIG.solvent_dielectric,
+            gb=True,
+            ion_concentration=GBIS_POLAR_CONFIG.ion_concentration,
+            constraints=cons,
+            block_r=8, interpret=True,
+        )
+        vel = maxwell_boltzmann(jax.random.PRNGKey(0), ff.masses, 300.0)
+        R = 4
+        pos_b = jnp.broadcast_to(pos, (R, n, 3)).astype(jnp.float32)
+        vel_b = jnp.broadcast_to(vel, (R, n, 3)).astype(jnp.float32)
+        pot = lambda q: total_energy(q, ff, config=GBIS_POLAR_CONFIG)
+        f0 = jax.vmap(lambda p: -jax.grad(pot)(p))(pos_b)
+        p1, v1, f1 = jax.jit(
+            lambda a, b, c: adv(a, b, c, jnp.int32(0), jnp.int32(1))
+        )(pos_b, vel_b, f0)
+        assert np.isfinite(np.asarray(p1)).all()
+        assert np.isfinite(np.asarray(v1)).all()
+        assert np.isfinite(np.asarray(f1)).all()
+        i, j = np.asarray(cons.pairs).T
+        d = np.linalg.norm(
+            np.asarray(p1)[:, i] - np.asarray(p1)[:, j], axis=-1
+        )
+        viol = np.abs(d - np.asarray(cons.lengths)[None, :])
+        assert viol.max() < 1e-5, f"max violation {viol.max():.2e} A"

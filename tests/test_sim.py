@@ -168,3 +168,24 @@ class TestNonbondedKernelParity:
         # f32 summation-order differences only
         np.testing.assert_allclose(np.asarray(e_r), np.asarray(e_d), atol=0.1)
         np.testing.assert_allclose(np.asarray(f_r), np.asarray(f_d), atol=0.05)
+
+    def test_ring_kernel_matches_dense_wide_cutoff(self):
+        """Regression: at cutoff 16 (the GBIS protocol) the halfway-shift
+        row (pairs i, i+64) is inside the cutoff — its contribution must be
+        halved exactly once (a double-halving bug dropped 15.9 kcal/mol of
+        elec+LJ here and was invisible at cutoff 9, where those pairs are
+        out of range)."""
+        from molecular_dynamics_tpu.examples import decaalanine_full
+        from molecular_dynamics_tpu.ops import make_nonbonded_op
+        from molecular_dynamics_tpu.ops.ring import make_pair_ring_op
+
+        ff, coords, _ = decaalanine_full()
+        kw = dict(cutoff=16.0, switch_dist=15.0, rfa=False,
+                  solvent_dielectric=80.0, interpret=True)
+        dense = make_nonbonded_op(ff, **kw)
+        ring = make_pair_ring_op(ff, block_r=8, **kw)
+        pos = jnp.asarray(coords, jnp.float32)[None]
+        e_d, f_d = jax.jit(dense)(pos)
+        e_r, f_r = jax.jit(ring)(pos)
+        np.testing.assert_allclose(np.asarray(e_r), np.asarray(e_d), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(f_r), np.asarray(f_d), atol=1e-3)
