@@ -41,6 +41,11 @@ from molecular_dynamics_tpu.ops.ring import build_ring_tables, ring_pair_forces
 
 _EPS = 1e-12
 
+#: unroll factor of the GB ring-pass shift loops. Mosaic's scan lowering
+#: supports ONLY unroll=1 or a full unroll (NotImplementedError otherwise),
+#: and the full 64-shift unroll x3 passes explodes compile time — so 1.
+_GB_UNROLL = 1
+
 _PI = 3.14159265358979
 _HALF_PI = 1.5707963267949
 
@@ -607,6 +612,7 @@ def make_fused_campaign_op(
                         z0,
                         z0,
                     ),
+                    unroll=_GB_UNROLL,
                 )
                 sum_i = sum_i + pltpu.roll(rev, one, 1)
                 psi = 0.5 * grho * sum_i
@@ -679,6 +685,7 @@ def make_fused_campaign_op(
                             pltpu.roll(born, ring_start, 1),
                             z0, z0, z0, z0, z0, z0, z0, z0,
                         ),
+                        unroll=_GB_UNROLL,
                     )
                 )
                 fx = fx + pltpu.roll(ax, one, 1)
@@ -739,6 +746,7 @@ def make_fused_campaign_op(
                         pltpu.roll(ce, ring_start, 1),
                         z0, z0, z0, z0, z0, z0,
                     ),
+                    unroll=_GB_UNROLL,
                 )
                 fx = fx + pltpu.roll(ax, one, 1)
                 fy = fy + pltpu.roll(ay, one, 1)
@@ -1025,4 +1033,5 @@ def make_fused_campaign_op(
         )
 
     advance.n_inner = n_inner
+    advance.block_r = block_r
     return advance

@@ -16,7 +16,14 @@ from molecular_dynamics_tpu.parallel.mesh import (
     get_mesh,
     shard_ensemble,
     shard_batch,
+    shard_campaign_advance,
     replicate_params,
 )
 
-__all__ = ["get_mesh", "shard_ensemble", "shard_batch", "replicate_params"]
+__all__ = [
+    "get_mesh",
+    "shard_ensemble",
+    "shard_batch",
+    "shard_campaign_advance",
+    "replicate_params",
+]

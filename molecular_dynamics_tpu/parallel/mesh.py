@@ -51,6 +51,40 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "replica"):
     return shard_ensemble(batch, mesh, axis_name)
 
 
+def shard_campaign_advance(advance, mesh: Mesh, axis_name: str = "replica"):
+    """shard_map a fused-campaign ``advance`` op over the replica axis.
+
+    The Pallas campaign kernel is a custom call XLA's SPMD partitioner
+    cannot split on its own, so multi-chip campaigns wrap it in
+    ``jax.shard_map``: each device runs the kernel on its local replica
+    shard (replicas are independent — zero collectives, linear ICI
+    scaling, same story as ``shard_ensemble`` for the composed path).
+
+    The kernel derives per-program thermostat streams from
+    ``seed + program_id``, so each shard offsets ``seed`` by
+    ``axis_index * local_program_count`` — without this, shards would
+    replay identical noise (the cross-shard analog of the in-kernel
+    program_id offset).
+    """
+    spec3 = P(axis_name, None, None)
+
+    def body(pos, vel, frc, t0, seed):
+        idx = jax.lax.axis_index(axis_name)
+        n_prog = max(pos.shape[0] // advance.block_r, 1)
+        return advance(pos, vel, frc, t0, seed + idx * n_prog)
+
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(spec3, spec3, spec3, P(), P()),
+        out_specs=(spec3, spec3, spec3),
+        # pallas_call outputs carry no varying-mesh-axes metadata
+        check_vma=False,
+    )
+    sharded.n_inner = advance.n_inner
+    return sharded
+
+
 def replicate_params(params, mesh: Mesh):
     """Fully replicate a parameter pytree across the mesh."""
     def put(x):

@@ -298,12 +298,19 @@ def simulate_ensemble(
     save_every: int = 50,
     config: SimulationConfig = SimulationConfig(),
     bias=None,
+    mesh=None,
+    axis_name: str = "replica",
 ) -> Tuple[MDState, jnp.ndarray, dict]:
     """Replica-ensemble rollout: ``states`` has a leading replica axis.
 
     The vmapped equivalent of the reference's 50-job SLURM fan-out
     (SMD/jobpip.sh:33-50); shard the leading axis over a device mesh with
-    ``mdx.parallel.shard_ensemble`` to scale across chips.
+    ``mdx.parallel.shard_ensemble`` to scale across chips. The composed
+    step is partitioned automatically by XLA SPMD; the fused campaign
+    kernel is a custom call the partitioner cannot split, so pass the
+    ``mesh`` here and the kernel is shard_mapped over the replica axis
+    (``parallel.shard_campaign_advance``) with decorrelated per-shard
+    thermostat streams.
 
     Returns (final_states, frames (n_saves, R, N, 3), log of (n_saves, R)).
     """
@@ -353,6 +360,12 @@ def simulate_ensemble(
             gb=campaign_gb,
             ion_concentration=config.energy.ion_concentration,
         )
+        if mesh is not None:
+            from molecular_dynamics_tpu.parallel import (
+                shard_campaign_advance,
+            )
+
+            advance = shard_campaign_advance(advance, mesh, axis_name)
 
         @jax.jit
         def run(states):

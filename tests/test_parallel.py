@@ -74,6 +74,62 @@ class TestSharding:
             np.asarray(out.pos), np.asarray(out_local.pos), atol=1e-6
         )
 
+    def test_sharded_fused_campaign_matches_unsharded(self):
+        """shard_map'ed fused campaign kernel == the single-launch kernel
+        at T=0 (replicas are independent; the shard wrapper must be a pure
+        re-batching). Runs the interpret-mode kernel on the CPU mesh."""
+        from molecular_dynamics_tpu import (
+            maxwell_boltzmann,
+            minimize_fire,
+            total_energy,
+        )
+        from molecular_dynamics_tpu.energy import REFERENCE_CONFIG
+        from molecular_dynamics_tpu.examples import decaalanine_full
+        from molecular_dynamics_tpu.ops.fused_step import (
+            make_fused_campaign_op,
+        )
+        from molecular_dynamics_tpu.parallel import shard_campaign_advance
+
+        ff, coords, _ = decaalanine_full()
+        n = ff.n_atoms
+        pot = lambda q: total_energy(q, ff, config=REFERENCE_CONFIG)
+        pos = jax.jit(
+            lambda p: minimize_fire(
+                p, lambda q: -jax.grad(pot)(q), n_steps=300,
+                dt_start=1e-3, dt_max=1e-2,
+            )
+        )(jnp.asarray(coords, jnp.float32))
+        n_dev = min(len(jax.devices()), 8)
+        mesh = get_mesh(n_dev)
+        R = 2 * n_dev
+        adv = make_fused_campaign_op(
+            ff, n_inner=2, dt_fs=1.0, temperature=0.0, gamma_ps=1.0,
+            block_r=2, interpret=True,
+        )
+        vel = maxwell_boltzmann(jax.random.PRNGKey(0), ff.masses, 300.0)
+        pos_b = jnp.broadcast_to(pos, (R, n, 3)).astype(jnp.float32)
+        vel_b = jnp.broadcast_to(vel, (R, n, 3)).astype(jnp.float32)
+        f0 = jax.vmap(lambda p: -jax.grad(pot)(p))(pos_b)
+
+        p_ref, v_ref, _ = jax.jit(
+            lambda a, b, c: adv(a, b, c, jnp.int32(0), jnp.int32(1))
+        )(pos_b, vel_b, f0)
+
+        sharded = shard_campaign_advance(adv, mesh)
+        pos_s = shard_ensemble(pos_b, mesh)
+        vel_s = shard_ensemble(vel_b, mesh)
+        f0_s = shard_ensemble(f0, mesh)
+        p_s, v_s, _ = jax.jit(
+            lambda a, b, c: sharded(a, b, c, jnp.int32(0), jnp.int32(1))
+        )(pos_s, vel_s, f0_s)
+        assert len(p_s.sharding.device_set) == n_dev
+        np.testing.assert_allclose(
+            np.asarray(p_s), np.asarray(p_ref), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(v_s), np.asarray(v_ref), atol=1e-6
+        )
+
     def test_data_parallel_grads_match_single_device(self, backbone_system):
         """DP informed-step gradients == single-device gradients (the psum
         inserted by jit's SPMD partitioner is exact)."""
