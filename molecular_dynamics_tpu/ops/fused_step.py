@@ -256,6 +256,27 @@ def _gb_tables(ff: FFParams, n_pad: int):
     )
 
 
+def _sasa_tables(ff: FFParams, n_pad: int):
+    """LCPO tables for the in-kernel dense SASA pass.
+
+    Column-shaped (L, 1) copies put per-atom-p values on sublanes (W's row
+    index) without any in-kernel transpose; the (1, L) row covers the
+    partner index q. ``a0col`` folds the constant P1*4*pi*r^2 term.
+    """
+    n = ff.n_atoms
+    radii = np.zeros(n_pad, np.float32)
+    radii[:n] = np.asarray(ff.sasa_radii, np.float32)
+    p = np.zeros((n_pad, 4), np.float32)
+    p[:n] = np.asarray(ff.sasa_params, np.float32)
+    a0 = p[:, 0] * 4.0 * np.pi * radii * radii
+    col = lambda v: jnp.asarray(v[:, None], jnp.float32)  # (L, 1)
+    return (
+        col(radii),
+        jnp.asarray(radii[None, :], jnp.float32),  # (1, L)
+        col(a0), col(p[:, 1]), col(p[:, 2]), col(p[:, 3]),
+    )
+
+
 def _constraint_tables(cons, n_pad: int):
     """Gather/scatter matrices + lane rows for the in-kernel projections.
 
@@ -313,6 +334,8 @@ def make_fused_campaign_op(
     rattle_iters: int = 3,
     gb: bool = False,  # in-kernel GB-OBC II implicit solvent (NAMD GBIS)
     ion_concentration: float = 0.0,
+    sasa: bool = False,  # in-kernel LCPO SASA nonpolar term (NAMD sasa on)
+    surface_tension: float = 0.005,
     block_r: int = 64,
     interpret: bool = False,
 ):
@@ -331,8 +354,14 @@ def make_fused_campaign_op(
     Born radii (HCT descreening + OBC rescaling), the Still pair force with
     per-atom dE/dR accumulation, and the descreening chain-rule pass.
     Requires ``ff`` with GB tables attached; ``solvent_dielectric`` and
-    ``ion_concentration`` feed the Debye-screened prefactor. The LCPO SASA
-    nonpolar term is NOT in-kernel (composed path only).
+    ``ion_concentration`` feed the Debye-screened prefactor.
+    ``sasa=True`` adds the LCPO nonpolar force (NAMD ``sasa on``,
+    gendirs_GBIS.py:64, matching ``solvent.sasa_energy``) as a dense
+    (BR, L, L) pass: pairwise buried areas + the analytic W-matrix
+    cotangent (dE/dA_pairwise) built from per-replica MXU matmuls —
+    with gb it completes the full NAMD campaign physics in-kernel. The
+    dense pass runs in replica chunks of 8 so its (CH, L, L) tensors stay
+    VMEM-small at any ``block_r``.
     Arrays are (R, N, 3); t0 int32 scalar; seed int32 scalar.
     """
     n = ff.n_atoms
@@ -433,6 +462,22 @@ def make_fused_campaign_op(
     else:
         gb_shift_tables, gb_lane_tables = (), ()
 
+    use_sasa = bool(sasa)
+    if use_sasa:
+        if not ff.has_gb:
+            raise ValueError(
+                "sasa=True needs LCPO tables on the FFParams "
+                "(solvent.attach_gb_params)"
+            )
+        sasa_tables = _sasa_tables(ff, n_pad)
+        # >1 inlined SASA chunk makes Mosaic's scheduler pathological
+        # (block_r=32 compiled >30 min and block_r=64 OOM'd scoped VMEM on
+        # v5e); one (8, L, L) chunk compiles in seconds
+        block_r = min(block_r, 8)
+        gamma_sasa = float(surface_tension)
+    else:
+        sasa_tables = ()
+
     ring_kw = dict(
         n_shifts=n_shifts,
         cutoff2=float(cutoff) ** 2,
@@ -467,6 +512,11 @@ def make_fused_campaign_op(
                 grho_ref, grhoi_ref, gsrow_ref, gradi_ref, gqs_ref,
             ) = rest[:10]
             rest = rest[10:]
+        if use_sasa:
+            (
+                sradc_ref, sradr_ref, sa0_ref, sp2_ref, sp3_ref, sp4_ref,
+            ) = rest[:6]
+            rest = rest[6:]
         (
             ox_ref, oy_ref, oz_ref, ovx_ref, ovy_ref, ovz_ref,
             ofx_ref, ofy_ref, ofz_ref,
@@ -753,8 +803,108 @@ def make_fused_campaign_op(
                 fz = fz + pltpu.roll(az, one, 1)
                 return fx, fy, fz
 
+        if use_sasa:
+            sradc = sradc_ref[:]  # (L, 1): radius of atom p (sublane index)
+            sradr = sradr_ref[:]  # (1, L): radius of atom q (lane index)
+            sa0 = sa0_ref[:]
+            sp2 = sp2_ref[:]
+            sp3 = sp3_ref[:]
+            sp4 = sp4_ref[:]
+            two_pi = 2.0 * _PI
+
+            def _bmm(a_, b_, contract):
+                # batched per-replica (L, L) matmul; contract = (lhs, rhs)
+                # contraction axes (1-based within each (L, L) slice + 1)
+                return jax.lax.dot_general(
+                    a_, b_, ((contract[0], contract[1]), ((0,), (0,))),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+
+            def _sasa_chunk(x, y, z):
+                # dense (CH, L, L) LCPO: buried areas a_pq (Weiser eq. 3),
+                # per-atom areas via batched MXU contractions, then the
+                # analytic dE/da_pq cotangent W and its d-derivative.
+                # Same math as solvent.sasa_energy; W derivation pinned by
+                # tests against jax.grad of the composed path.
+                dx = x[:, :, None] - x[:, None, :]
+                dy = y[:, :, None] - y[:, None, :]
+                dz = z[:, :, None] - z[:, None, :]
+                d2 = dx * dx + dy * dy + dz * dz
+                rp = sradc[None, :, :]  # (1, L, 1)
+                rq = sradr[None, :, :]  # (1, 1, L)
+                d2s = jnp.where(d2 > 0.0, d2, 1.0)
+                dinv = jax.lax.rsqrt(d2s)
+                d = d2s * dinv
+                # zero-radius atoms (H, ghosts) can never overlap; the
+                # d2>0 guard kills the diagonal and coincident ghosts
+                o_b = (d < rp + rq) & (d > jnp.abs(rp - rq)) & (d2 > 0.0)
+                o = jnp.where(o_b, 1.0, 0.0)
+                rpq = rp * rp - rq * rq
+                a = o * (
+                    two_pi * rp * (rp - 0.5 * d - 0.5 * rpq * dinv)
+                )  # == oa (solvent.py: a_ij pre-masked by overlap)
+                t2 = jnp.sum(a, axis=2, keepdims=True)  # (BR, L, 1)
+                m3 = _bmm(o, a, ((2,), (1,)))  # o @ oa
+                t3 = jnp.sum(m3 * o, axis=2, keepdims=True)
+                m4 = _bmm(a, a, ((2,), (1,)))  # a @ oa
+                t4 = jnp.sum(m4 * o, axis=2, keepdims=True)
+                area = sa0[None] + sp2[None] * t2 + sp3[None] * t3 \
+                    + sp4[None] * t4
+                g = jnp.where(
+                    (area > 0.0) & (sradc[None] > 0.0), gamma_sasa, 0.0
+                )  # (BR, L, 1): gamma gated by the relu in sum(max(A, 0))
+                # W_pq = dE/da_pq:
+                #   g_p P2_p                        (T2 of atom p)
+                # + o_pq (o^T diag(gP3) o)_pq       (T3 of every atom i)
+                # + g_p P4_p (o @ oa^T)_pq          (T4 of atom p, a-factor)
+                # + o_pq (a^T diag(gP4) o)_pq       (T4 of atom i, oa-factor)
+                gp3o = (g * sp3[None]) * o
+                gp4o = (g * sp4[None]) * o
+                w = (
+                    g * sp2[None]
+                    + o * _bmm(o, gp3o, ((1,), (1,)))
+                    + (g * sp4[None]) * _bmm(o, a, ((2,), (2,)))
+                    + o * _bmm(a, gp4o, ((1,), (1,)))
+                )
+                ap = two_pi * rp * (-0.5 + 0.5 * rpq * dinv * dinv)
+                c = jnp.where(o_b, w * ap, 0.0) * dinv
+                # F_p = -sum_q (C_pq + C_qp) dx_pq = -rowsum + colsum
+                tx = c * dx
+                ty = c * dy
+                tz = c * dz
+                return (
+                    jnp.sum(tx, axis=1) - jnp.sum(tx, axis=2),
+                    jnp.sum(ty, axis=1) - jnp.sum(ty, axis=2),
+                    jnp.sum(tz, axis=1) - jnp.sum(tz, axis=2),
+                )
+
+            def sasa_pass(x, y, z):
+                # process replicas in chunks of <= 8 so the (CH, L, L)
+                # dense tensors stay VMEM-small while the ring passes keep
+                # their preferred (larger) block_r
+                br = x.shape[0]
+                ch = min(br, 8)
+                outs = [
+                    _sasa_chunk(
+                        x[r : r + ch], y[r : r + ch], z[r : r + ch]
+                    )
+                    for r in range(0, br, ch)
+                ]
+                if len(outs) == 1:
+                    return outs[0]
+                return tuple(
+                    jnp.concatenate([o[i] for o in outs], axis=0)
+                    for i in range(3)
+                )
+
         def forces(x, y, z, t_step):
             fx, fy, fz, _ = ring_pair_forces(x, y, z, pair_tabs, **ring_kw)
+            if use_sasa:
+                sfx, sfy, sfz = sasa_pass(x, y, z)
+                fx = fx + sfx
+                fy = fy + sfy
+                fz = fz + sfz
             if use_gb:
                 born, d_born_dpsi = born_pass(x, y, z)
                 gfx, gfy, gfz, der = gb_pair_pass(x, y, z, born)
@@ -1004,6 +1154,13 @@ def make_fused_campaign_op(
             tab_specs += [bcast((n_shifts, n_pad))] * 5 + [
                 bcast((1, n_pad))
             ] * 5
+        if use_sasa:
+            in_tabs += list(sasa_tables)
+            tab_specs += [
+                bcast((n_pad, 1)), bcast((1, n_pad)),
+                bcast((n_pad, 1)), bcast((n_pad, 1)),
+                bcast((n_pad, 1)), bcast((n_pad, 1)),
+            ]
 
         out_shape = [jax.ShapeDtypeStruct((r, n_pad), jnp.float32)] * 9
         outs = pl.pallas_call(

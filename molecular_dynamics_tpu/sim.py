@@ -318,14 +318,18 @@ def simulate_ensemble(
     obs_fn = functools.partial(_observables, ff=ff, config=config, bias=bias)
 
     term_set = set(config.energy.terms)
-    campaign_gb = term_set == set(DEFAULT_TERMS) | {"gb"} and ff.has_gb
+    campaign_gb = ff.has_gb and term_set in (
+        set(DEFAULT_TERMS) | {"gb"},
+        set(DEFAULT_TERMS) | {"gb", "sasa"},
+    )
+    campaign_sasa = campaign_gb and "sasa" in term_set
     use_campaign = (
         config.fused_campaign
         and config.integrator == "langevin"
         and not config.pbc
         # the campaign kernel covers the default term set, optionally plus
-        # in-kernel GB (GBIS polar); SASA or reduced-term configs run on
-        # the composed XLA path
+        # in-kernel GB-OBC and LCPO SASA (the full NAMD GBIS campaign);
+        # reduced-term configs run on the composed XLA path
         and (term_set == set(DEFAULT_TERMS) or campaign_gb)
     )
     if use_campaign:
@@ -359,6 +363,8 @@ def simulate_ensemble(
             constraints=cons,
             gb=campaign_gb,
             ion_concentration=config.energy.ion_concentration,
+            sasa=campaign_sasa,
+            surface_tension=config.energy.surface_tension,
         )
         if mesh is not None:
             from molecular_dynamics_tpu.parallel import (
@@ -413,10 +419,9 @@ def smd_campaign_config(
     ``implicit_solvent=True`` switches the energy to the NAMD-campaign
     physics — GBIS with 0.1 M salt (``gbis on``, gendirs_GBIS.py:55-63)
     and rigid H bonds — instead of the vacuum torchmd-parity config.
-    ``sasa=True`` (default) adds the LCPO nonpolar term (``sasa on``) and
-    runs on the composed XLA path; ``sasa=False`` selects the polar-only
-    GBIS config, which the fused campaign kernel evaluates fully in-kernel
-    (``fused_campaign=True``).
+    ``sasa=True`` (default) adds the LCPO nonpolar term (``sasa on``,
+    gendirs_GBIS.py:64). Both variants run in the fused campaign kernel
+    (GB ring passes; SASA as the dense in-kernel LCPO pass).
     """
     from molecular_dynamics_tpu.energy import GBIS_CONFIG, GBIS_POLAR_CONFIG
 
@@ -430,7 +435,7 @@ def smd_campaign_config(
         gamma_ps=1.0,
         energy=e_cfg,
         constrain_h_bonds=implicit_solvent,
-        fused_campaign=implicit_solvent and not sasa,
+        fused_campaign=implicit_solvent,
     )
     colvar = {
         "fk": 1.0,

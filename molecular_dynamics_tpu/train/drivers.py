@@ -20,7 +20,7 @@ from typing import Optional
 import numpy as np
 
 
-def _bootstrap_dataset(ff, coords, out_dir, n_replicas=8, n_steps=4000):
+def _bootstrap_dataset(ff, coords, out_dir, n_replicas=8, n_steps=8000):
     """Generate SMD trajectories on-device (mini 210905_SMD campaign)."""
     import jax
     import jax.numpy as jnp
@@ -61,13 +61,30 @@ def _bootstrap_dataset(ff, coords, out_dir, n_replicas=8, n_steps=4000):
         )(p),
     )
     ens = replicate(state, n_replicas, seed=1)
+    # 0.5 fs: the unconstrained backbone FF is marginal at 1 fs — with
+    # thermal 300 K starts ~1 in 8 replicas blows through a stiff-bond
+    # resonance within a few ps and poisons the whole dataset
     _, frames, _ = simulate_ensemble(
         ens, ff, n_steps, save_every=50,
-        config=SimulationConfig(dt_fs=1.0), bias=bias,
+        config=SimulationConfig(dt_fs=0.5), bias=bias,
     )
     frames = np.moveaxis(np.asarray(frames), 1, 0)  # (R, saves, N, 3)
+    # refuse to train on an exploded ensemble
+    span = float(np.abs(np.asarray(pos)).max())
+    ok = np.isfinite(frames).all(axis=(1, 2, 3)) & (
+        np.abs(frames).max(axis=(1, 2, 3)) < 100.0 * max(span, 1.0)
+    )
+    if not ok.all():
+        bad = int((~ok).sum())
+        if bad > n_replicas // 2:
+            raise RuntimeError(
+                f"bootstrap SMD ensemble diverged in {bad}/{n_replicas} "
+                "replicas — check the force field / schedule"
+            )
+        print(f"bootstrap: dropping {bad}/{n_replicas} diverged replicas")
+        frames = frames[ok]
     os.makedirs(out_dir, exist_ok=True)
-    for r in range(n_replicas):
+    for r in range(len(frames)):
         np.save(os.path.join(out_dir, f"raw-traj_rep-{r}.npy"), frames[r])
     return frames
 
@@ -204,14 +221,18 @@ def _run_pretrain(ff, traj, epochs, batch_size, rng, key, logger, keeper,
     from molecular_dynamics_tpu.train.datasets import frame_time_batches
 
     gen = Generator(n_atoms=ff.n_atoms)
-    opt, step = make_pretrain_step(gen, ff)
+    # lr 1e-3: at the reference's 1e-4 + clip 1.0 the decoder needs ~10k
+    # steps to even reach the data's coordinate scale (measured)
+    opt, step = make_pretrain_step(gen, ff, lr=1e-3)
     z0 = jnp.zeros((1, 31))
     params = gen.init(key, z0, jnp.zeros((1,)))
     opt_state = opt.init(params)
     t0 = time.time()
     i = 0
     for epoch in range(epochs):
-        alpha = min(1.0, epoch / max(epochs - 1, 1))  # potential curriculum
+        # potential curriculum, capped at 1e-2: the raw potential (~1e3
+        # kcal/mol) would otherwise drown the O(1) geometric losses
+        alpha = 0.01 * min(1.0, epoch / max(epochs - 1, 1))
         for frames, times in frame_time_batches(traj, batch_size, rng):
             key, sub = jax.random.split(key)
             params, opt_state, loss, _ = step(
@@ -240,20 +261,64 @@ def _run_cgan(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     from molecular_dynamics_tpu.train.cgan import CGANConfig, make_cgan_trainer
     from molecular_dynamics_tpu.train.datasets import frame_time_batches
 
+    from molecular_dynamics_tpu.train.cgan import make_pretrain_step
+
     n = ff.n_atoms
     gen = Generator(n_atoms=n)
     disc = Discriminator()
+    # SMD schedule anchored to the data: the bias center must start at the
+    # colvar the trajectories actually visit (a schedule away from the
+    # measured e2e dumps hundreds of kcal/mol into the informed loss —
+    # physics, not a tuning knob). cent_0/cent_1 = mean data e2e at the
+    # early/late 10% of normalized time.
+    frames_all, times_all = traj.stacked()
+    e2e = np.linalg.norm(
+        np.asarray(frames_all)[:, -1] - np.asarray(frames_all)[:, 0], axis=-1
+    )
+    order = np.argsort(np.asarray(times_all))
+    k10 = max(len(order) // 10, 1)
+    cent_0 = float(np.mean(e2e[order[:k10]]))
+    cent_1 = float(np.mean(e2e[order[-k10:]]))
     bias = HarmonicSMDBias.create(
         n_atoms=n, group1=[0], group2=[n - 1], fk=1.0,
-        cent_0=12.0, cent_1=34.0, T=10000.0,
+        cent_0=cent_0, cent_1=cent_1, T=10000.0,
     )
+    # stabilized GAN-phase rates (measured on the bootstrap dataset): at
+    # the reference's 1e-4 the discriminator saturates in one epoch and the
+    # adversarial push walks the pretrained decoder off-manifold, after
+    # which the informed loss explodes (1e22 kcal/mol). 1e-5 everywhere
+    # keeps all three losses bounded; the physics-gated best checkpoint
+    # below is the reference's best-rollback (GAN_V37/gan.py:466-469).
+    cfg = CGANConfig(lr_g=1e-5, lr_d=1e-5, lr_informed=1e-5)
     init_fn, (og, od, oi), g_step, d_step, informed_step = make_cgan_trainer(
-        gen, disc, ff, bias=bias, config=CGANConfig()
+        gen, disc, ff, bias=bias, config=cfg
     )
     g_params, d_params = init_fn(key)
-    g_opt, d_opt, i_opt = og.init(g_params), od.init(d_params), oi.init(g_params)
     t0 = time.time()
     i = 0
+    # phase 1 — decoder pretrain (the reference reuses pretrained decoder
+    # checkpoints for the GAN, cgan.py:547-569; training the GAN from a
+    # random decoder collapses: the informed phase sees astronomic LJ)
+    pre_opt, pre_step = make_pretrain_step(gen, ff, lr=1e-3)
+    pre_state = pre_opt.init(g_params)
+    pre_epochs = max(epochs, 4)
+    for epoch in range(pre_epochs):
+        # capped potential curriculum (see _run_pretrain)
+        alpha = 0.01 * min(1.0, epoch / max(pre_epochs - 1, 1))
+        for frames, times in frame_time_batches(traj, batch_size, rng):
+            key, sub = jax.random.split(key)
+            g_params, pre_state, loss, _ = pre_step(
+                g_params, pre_state, sub, jnp.asarray(frames),
+                jnp.asarray(times), alpha,
+            )
+            i += 1
+            if i % 10 == 0:
+                _log(logger, curves, keeper, g_params, epoch, i, loss, t0)
+    # phase 2 — the three-phase adversarial + informed loop, with the
+    # final artifact taken from the physics-best (lowest informed loss)
+    # generator checkpoint rather than the last iterate
+    g_opt, d_opt, i_opt = og.init(g_params), od.init(d_params), oi.init(g_params)
+    best_i, best_params = float("inf"), g_params
     for epoch in range(epochs):
         for frames, times in frame_time_batches(traj, batch_size, rng):
             key, k1, k2, k3 = jax.random.split(key, 4)
@@ -263,9 +328,12 @@ def _run_cgan(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
                 d_params, d_opt, g_params, k2, jnp.asarray(frames), t_b
             )
             g_params, i_opt, i_loss = informed_step(g_params, i_opt, k3, t_b)
+            if float(i_loss) < best_i:
+                best_i, best_params = float(i_loss), g_params
             i += 1
             if i % 10 == 0:
-                _log(logger, curves, keeper, g_params, epoch, i, g_loss, t0)
+                _log(logger, curves, keeper, g_params, epoch, i, i_loss, t0)
+    g_params = best_params
     t = jnp.linspace(0, 1, 20)
     z = jax.random.normal(key, (20, 31))
     coords = gen.apply(g_params, z, t, method=Generator.coords)

@@ -152,6 +152,53 @@ class TestFusedGBCampaign:
             np.asarray(f1), np.asarray(f_new), atol=0.15
         )
 
+    def test_single_step_matches_composed_with_sasa(self, gb_system):
+        """Full GBIS physics (gb + in-kernel dense LCPO SASA) == composed
+        GBIS_CONFIG step at T=0 — the complete NAMD campaign force field
+        in one kernel."""
+        from molecular_dynamics_tpu.energy import GBIS_CONFIG
+
+        ff, pos = gb_system
+        n = ff.n_atoms
+        adv = make_fused_campaign_op(
+            ff, n_inner=1, dt_fs=1.0, temperature=0.0, gamma_ps=1.0,
+            cutoff=GBIS_CONFIG.cutoff,
+            switch_dist=GBIS_CONFIG.switch_dist,
+            rfa=GBIS_CONFIG.rfa,
+            solvent_dielectric=GBIS_CONFIG.solvent_dielectric,
+            gb=True,
+            ion_concentration=GBIS_CONFIG.ion_concentration,
+            sasa=True,
+            surface_tension=GBIS_CONFIG.surface_tension,
+            block_r=16, interpret=True,  # 2 SASA chunks: covers the concat
+        )
+        vel = maxwell_boltzmann(jax.random.PRNGKey(0), ff.masses, 300.0)
+        R = 4
+        pos_b = jnp.broadcast_to(pos, (R, n, 3)).astype(jnp.float32)
+        vel_b = jnp.broadcast_to(vel, (R, n, 3)).astype(jnp.float32)
+        pot = lambda q: total_energy(q, ff, config=GBIS_CONFIG)
+        f0 = jax.vmap(lambda p: -jax.grad(pot)(p))(pos_b)
+        p1, v1, f1 = jax.jit(
+            lambda a, b, c: adv(a, b, c, jnp.int32(0), jnp.int32(1))
+        )(pos_b, vel_b, f0)
+
+        dt = 1.0 / units.TIMEFACTOR
+        gamma = 1.0 * (units.TIMEFACTOR / 1000.0)
+        c1 = float(np.exp(-gamma * dt))
+        m = jnp.asarray(ff.masses, jnp.float32)[:, None]
+        vv = vel_b + 0.5 * dt * f0 / m
+        xx = pos_b + 0.5 * dt * vv
+        vv = c1 * vv
+        xx = xx + 0.5 * dt * vv
+        f_new = jax.vmap(lambda p: -jax.grad(pot)(p))(xx)
+        vv = vv + 0.5 * dt * f_new / m
+
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(xx), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(vv), atol=5e-3)
+        np.testing.assert_allclose(
+            np.asarray(f1), np.asarray(f_new), atol=0.15
+        )
+
     def test_gbis_protocol_campaign_runs(self, gb_system):
         """The full in-kernel GBIS protocol (GB + rigid bonds, 2 fs) stays
         finite and keeps constraints satisfied over a multi-step segment."""

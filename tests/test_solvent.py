@@ -193,9 +193,11 @@ class TestGBISCampaignPath:
         )
         state = initialize_forces(state, lambda p, b: force(p))
         ens = replicate(state, 2, seed=1)
+        # fused_campaign=False: the GBIS term set now runs in the fused
+        # kernel (tests/test_fused_gb.py covers it in interpret mode);
+        # this test pins the composed XLA path the trainers differentiate
         sim_cfg = SimulationConfig(
             dt_fs=2.0, energy=cfg_e, constrain_h_bonds=True,
-            fused_campaign=True,  # must fall back: GB not in the kernel
         )
         final, frames, log = simulate_ensemble(ens, ff, 100, 25, sim_cfg)
         assert bool(jnp.all(jnp.isfinite(frames)))

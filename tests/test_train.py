@@ -225,7 +225,7 @@ class TestUpdateSteps:
             ).astype(np.float32)
             np.save(data_dir / f"traj-{r}.npy", frames.astype(np.float32))
 
-        for family in ("sde", "node", "lstm"):
+        for family in ("sde", "node", "lstm", "cgan"):
             rc = run_training(
                 family=family,
                 data=str(data_dir / "*.npy"),
