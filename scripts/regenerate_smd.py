@@ -48,8 +48,8 @@ def main():
     ap.add_argument(
         "--gbis", action="store_true",
         help="full NAMD-campaign physics: GB-OBC+SASA implicit solvent, "
-        "0.1 M salt, rigid H bonds (gendirs_GBIS.py:55-68); runs on the "
-        "composed XLA path",
+        "0.1 M salt, rigid H bonds (gendirs_GBIS.py:55-68) — all evaluated "
+        "inside the fused campaign kernel",
     )
     ap.add_argument("--max-dump", type=int, default=4,
                     help="replicas to write npy/dcd for (stats use all)")

@@ -165,9 +165,10 @@ class TestNonbondedKernelParity:
         )
         e_d, f_d = jax.jit(dense)(pos)
         e_r, f_r = jax.jit(ring)(pos)
-        # f32 summation-order differences only
-        np.testing.assert_allclose(np.asarray(e_r), np.asarray(e_d), atol=0.1)
-        np.testing.assert_allclose(np.asarray(f_r), np.asarray(f_d), atol=0.05)
+        # f32 summation-order differences only (the old 0.1/0.05 bounds hid
+        # a halfway-row double-halving bug worth 0.04 kcal/mol at cutoff 9)
+        np.testing.assert_allclose(np.asarray(e_r), np.asarray(e_d), atol=0.01)
+        np.testing.assert_allclose(np.asarray(f_r), np.asarray(f_d), atol=0.005)
 
     def test_ring_kernel_matches_dense_wide_cutoff(self):
         """Regression: at cutoff 16 (the GBIS protocol) the halfway-shift
