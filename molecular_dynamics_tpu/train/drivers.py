@@ -182,7 +182,18 @@ def _eval_generated(out_dir, family, generated, traj, extra=None):
     from molecular_dynamics_tpu.evaluate import compare_e2e
 
     data_frames, _ = traj.stacked()
-    metrics = compare_e2e(np.asarray(generated), np.asarray(data_frames))
+    generated = np.asarray(generated)
+    data_frames = np.asarray(data_frames)
+    metrics = compare_e2e(generated, data_frames)
+    # radius-of-gyration statistics (mass-free: the comparison is between
+    # two ensembles of the same topology, so uniform weights suffice)
+    for name, ens in (("gen", generated), ("data", data_frames)):
+        cen = ens - ens.mean(axis=1, keepdims=True)
+        rg = np.sqrt((cen**2).sum(axis=(1, 2)) / ens.shape[1])
+        metrics[f"rg_{name}_mean"] = float(rg.mean())
+    metrics["rg_abs_error"] = abs(
+        metrics["rg_gen_mean"] - metrics["rg_data_mean"]
+    )
     if extra:
         metrics.update(extra)
     with open(os.path.join(out_dir, "eval.json"), "w") as f:
@@ -655,46 +666,70 @@ def _run_gat(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     model = GATSimulator(latent=64, n_processors=3, k=min(40, n - 1))
     opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-4))
 
-    # GNS dataset: velocities by finite difference, targets = accelerations
-    t_arr = traj.trajectories[0]
-    vel = np.diff(t_arr, axis=0)
-    acc = np.diff(vel, axis=0)
+    # GNS dataset: velocities by finite difference, targets = accelerations.
+    # Diff within each trajectory (concatenating first would create bogus
+    # cross-replica jumps), then pool — every replica contributes.
+    pos_l, vel_l, acc_l, nxt_l = [], [], [], []
+    for t_one in traj.trajectories:
+        v = np.diff(t_one, axis=0)
+        a = np.diff(v, axis=0)
+        # frame sel uses v1=v[sel-1], v2=v[sel-2], target a[sel-1], next pos
+        sel = np.arange(2, len(t_one) - 1)
+        pos_l.append(t_one[sel])
+        nxt_l.append(t_one[sel + 1])
+        vel_l.append(np.stack([v[sel - 1], v[sel - 2]], axis=1))
+        acc_l.append(a[sel - 1])
+    pos_a = np.concatenate(pos_l)
+    nxt_a = np.concatenate(nxt_l)
+    vv = np.concatenate(vel_l)
+    aa = np.concatenate(acc_l)
     # normalize finite-difference scales (strided frames make raw acc huge)
-    acc_scale = float(np.abs(acc).mean()) + 1e-8
-    vel_scale = float(np.abs(vel).mean()) + 1e-8
-    vel = vel / vel_scale
-    acc = acc / acc_scale
+    acc_scale = float(np.abs(aa).mean()) + 1e-8
+    vel_scale = float(np.abs(vv).mean()) + 1e-8
+    vv = vv / vel_scale
+    aa = aa / acc_scale
 
     @jax.jit
-    def step(params, opt_state, pos, v1, v2, target_acc):
+    def step(params, opt_state, key, pos, v1, v2, target_acc, pos_next):
         def loss(p):
-            nodes = jnp.concatenate([pos, v1, v2], axis=-1)
-            pred = jax.vmap(lambda nd, ps: model.apply(p, nd, ps))(nodes, pos)
-            return jnp.mean((pred - target_acc) ** 2)
+            # GNS-style input noise: the rollout feeds the model its own
+            # slightly-wrong states, so train it on perturbed inputs — plus
+            # the reference's dual acceleration + next-position MSE
+            # (single_graph_gat.py:203-204,273)
+            pos_n = pos + 0.02 * jax.random.normal(key, pos.shape)
+            nodes = jnp.concatenate([pos_n, v1, v2], axis=-1)
+            pred = jax.vmap(lambda nd, ps: model.apply(p, nd, ps))(
+                nodes, pos_n
+            )
+            l_acc = jnp.mean((pred - target_acc) ** 2)
+            p_new = pos_n + v1 * vel_scale + pred * acc_scale
+            l_pos = jnp.mean((p_new - pos_next) ** 2)
+            return l_acc + l_pos
 
         val, grads = jax.value_and_grad(loss)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, val
 
     nodes0 = jnp.concatenate(
-        [jnp.asarray(t_arr[2]), jnp.asarray(vel[1]), jnp.asarray(vel[0])],
+        [jnp.asarray(pos_a[0]), jnp.asarray(vv[0, 0]), jnp.asarray(vv[0, 1])],
         axis=-1,
     )
-    params = model.init(key, nodes0, jnp.asarray(t_arr[2]))
+    params = model.init(key, nodes0, jnp.asarray(pos_a[0]))
     opt_state = opt.init(params)
     t0 = time.time()
     i = 0
-    idx = np.arange(2, len(t_arr) - 1)
     for epoch in range(epochs):
-        order = rng.permutation(idx)
+        order = rng.permutation(len(pos_a))
         for s in range(0, len(order) - batch_size + 1, batch_size):
             sel = order[s : s + batch_size]
+            key, sub = jax.random.split(key)
             params, opt_state, loss = step(
-                params, opt_state,
-                jnp.asarray(t_arr[sel]),
-                jnp.asarray(vel[sel - 1]),
-                jnp.asarray(vel[sel - 2]),
-                jnp.asarray(acc[sel - 1]),
+                params, opt_state, sub,
+                jnp.asarray(pos_a[sel]),
+                jnp.asarray(vv[sel, 0]),
+                jnp.asarray(vv[sel, 1]),
+                jnp.asarray(aa[sel]),
+                jnp.asarray(nxt_a[sel]),
             )
             i += 1
             if i % 10 == 0:
@@ -707,8 +742,12 @@ def _run_gat(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
         def stepf(carry, _):
             pos, v1, v2 = carry
             nodes = jnp.concatenate([pos, v1, v2], axis=-1)
-            acc_n = model.apply(params, nodes, pos)
-            v_new = v1 + acc_n * (acc_scale / vel_scale)
+            # clamp predictions to the training distribution's support
+            # (z-scored targets): strided-frame accelerations are mostly
+            # thermal noise, and one out-of-range prediction compounds
+            # through the autoregressive queue
+            acc_n = jnp.clip(model.apply(params, nodes, pos), -2.0, 2.0)
+            v_new = jnp.clip(v1 + acc_n * (acc_scale / vel_scale), -3.0, 3.0)
             pos_new = pos + v_new * vel_scale
             return (pos_new, v_new, v1), pos_new
 
@@ -722,9 +761,9 @@ def _run_gat(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
 
     frames = roll(
         params,
-        jnp.asarray(t_arr[2]),
-        jnp.asarray(vel[1]),
-        jnp.asarray(vel[0]),
+        jnp.asarray(pos_a[0]),
+        jnp.asarray(vv[0, 0]),
+        jnp.asarray(vv[0, 1]),
     )
     _export_xyz(os.path.join(out_dir, "GAT_generated.xyz"), frames, names)
     _eval_generated(out_dir, "gat", np.asarray(frames), traj)

@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Assemble docs/TRAINING.md from the eval.json files of a training sweep.
+
+Usage: python scripts/summarize_training.py [runs_dir] [out_md]
+
+Each family's driver writes ``eval.json`` (e2e-vs-data discrepancy along the
+reaction coordinate — the reference's per-experiment test.py evaluator — plus
+radius-of-gyration statistics and family-specific extras) and
+``train_log.csv``. This collects them into one results table.
+"""
+
+import json
+import os
+import sys
+
+
+def main():
+    runs = sys.argv[1] if len(sys.argv) > 1 else "runs_convergence"
+    out = sys.argv[2] if len(sys.argv) > 2 else "docs/TRAINING.md"
+
+    rows = []
+    for fam in sorted(os.listdir(runs)):
+        d = os.path.join(runs, fam)
+        ev = os.path.join(d, "eval.json")
+        log = os.path.join(d, "train_log.csv")
+        metrics = {}
+        if os.path.isfile(ev):
+            with open(ev) as f:
+                metrics = json.load(f)
+        wall = epochs = None
+        if os.path.isfile(log):
+            with open(log) as f:
+                lines = [ln.strip().split(",") for ln in f if ln.strip()]
+            if len(lines) > 1:
+                hdr = lines[0]
+                last = dict(zip(hdr, lines[-1]))
+                wall = float(last.get("wall_s", "nan"))
+                epochs = int(last.get("epoch", -1)) + 1
+        rows.append((fam, metrics, wall, epochs))
+
+    lines = [
+        "# Training-campaign results (one TPU v5e, bootstrap SMD dataset)",
+        "",
+        "Every family driver trains end-to-end (`mdx train <family>`), "
+        "generates an ensemble, and scores it against the training data "
+        "with the reference's e2e-along-reaction-coordinate evaluator "
+        "(GAN_V12.3.1/test.py:31-55) plus radius-of-gyration statistics. "
+        "`mean_abs_error` is the bucketed end-to-end-distance discrepancy "
+        "in Angstrom (lower = generated ensemble matches the data's "
+        "pulling pathway).",
+        "",
+        "| family | e2e mean err (A) | e2e max err (A) | Rg err (A) | "
+        "extras | train wall (s) | epochs |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for fam, m, wall, epochs in rows:
+        if not m and wall is None:
+            continue
+        extras = {
+            k: v
+            for k, v in m.items()
+            if k
+            not in (
+                "mean_abs_error", "max_abs_error", "std_abs_error",
+                "rg_gen_mean", "rg_data_mean", "rg_abs_error",
+            )
+        }
+        fmt = lambda x: f"{x:.3f}" if isinstance(x, float) else str(x)
+        lines.append(
+            "| {} | {} | {} | {} | {} | {} | {} |".format(
+                fam,
+                fmt(m.get("mean_abs_error", "—")),
+                fmt(m.get("max_abs_error", "—")),
+                fmt(m.get("rg_abs_error", "—")),
+                ", ".join(f"{k}={fmt(v)}" for k, v in sorted(extras.items()))
+                or "—",
+                f"{wall:.0f}" if wall is not None else "—",
+                epochs if epochs is not None else "—",
+            )
+        )
+    lines += [
+        "",
+        "Reproduce: `python -m molecular_dynamics_tpu.cli train <family> "
+        "--epochs 8` (bootstraps its own on-device SMD dataset) or pass "
+        "`--data 'dir/*.npy'` to reuse one. NLL-head families (lstm-nll) "
+        "train the density model only — no generation step, so no eval row.",
+        "",
+    ]
+    with open(out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out} ({len(rows)} families)")
+
+
+if __name__ == "__main__":
+    main()
