@@ -472,7 +472,9 @@ def make_fused_campaign_op(
         sasa_tables = _sasa_tables(ff, n_pad)
         # >1 inlined SASA chunk makes Mosaic's scheduler pathological
         # (block_r=32 compiled >30 min and block_r=64 OOM'd scoped VMEM on
-        # v5e); one (8, L, L) chunk compiles in seconds
+        # v5e); a single (8, L, L) chunk compiles in seconds. 8 is also the
+        # Mosaic sublane minimum, so the scoped-VMEM limit is raised below
+        # instead of shrinking the block further.
         block_r = min(block_r, 8)
         gamma_sasa = float(surface_tension)
     else:
@@ -1170,7 +1172,13 @@ def make_fused_campaign_op(
             out_specs=[row_spec] * 9,
             out_shape=out_shape,
             interpret=interpret,
-            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            # the SASA variant dense temporaries overflow the default
+            # 16M scoped-VMEM budget by ~1M when the kernel sits inside a
+            # lax.scan; give it explicit headroom
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=(20 * 1024 * 1024 if use_sasa else None),
+            ),
         )(
             jnp.asarray(t0, jnp.int32).reshape(1, 1),
             jnp.asarray(seed, jnp.int32).reshape(1, 1),

@@ -53,6 +53,13 @@ def main():
     )
     ap.add_argument("--max-dump", type=int, default=4,
                     help="replicas to write npy/dcd for (stats use all)")
+    ap.add_argument(
+        "--chunk-steps", type=int, default=100_000,
+        help="steps per device call: one monolithic 500k-step execution "
+        "can exceed remote-backend execution limits; chunking keeps each "
+        "call bounded (the MD state carries its step counter, so the SMD "
+        "schedule continues seamlessly)",
+    )
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -94,10 +101,22 @@ def main():
         constrain_h_bonds=args.gbis,
     )
     t0 = time.time()
-    final, frames, log = simulate_ensemble(
-        ens, ff, args.steps, args.save_every, cfg, bias
-    )
-    frames = np.asarray(frames)  # (saves, R, N, 3)
+    chunk = max(args.save_every, min(args.chunk_steps, args.steps))
+    frames_parts, log_parts = [], []
+    states = ens
+    done = 0
+    while done < args.steps:
+        n_chunk = min(chunk, args.steps - done)
+        states, fr, lg = simulate_ensemble(
+            states, ff, n_chunk, args.save_every, cfg, bias
+        )
+        frames_parts.append(np.asarray(fr))
+        log_parts.append({k: np.asarray(v) for k, v in lg.items()})
+        done += n_chunk
+    frames = np.concatenate(frames_parts)  # (saves, R, N, 3)
+    log = {
+        k: np.concatenate([p[k] for p in log_parts]) for k in log_parts[0]
+    }
     elapsed = time.time() - t0
 
     # artifacts: reference-layout npy per replica (subset), one DCD, CSV log
