@@ -881,24 +881,9 @@ def make_fused_campaign_op(
                     jnp.sum(tz, axis=1) - jnp.sum(tz, axis=2),
                 )
 
-            def sasa_pass(x, y, z):
-                # process replicas in chunks of <= 8 so the (CH, L, L)
-                # dense tensors stay VMEM-small while the ring passes keep
-                # their preferred (larger) block_r
-                br = x.shape[0]
-                ch = min(br, 8)
-                outs = [
-                    _sasa_chunk(
-                        x[r : r + ch], y[r : r + ch], z[r : r + ch]
-                    )
-                    for r in range(0, br, ch)
-                ]
-                if len(outs) == 1:
-                    return outs[0]
-                return tuple(
-                    jnp.concatenate([o[i] for o in outs], axis=0)
-                    for i in range(3)
-                )
+            # block_r is capped at 8 when SASA is on, so the dense pass
+            # covers the whole block in one (<=8, L, L) evaluation
+            sasa_pass = _sasa_chunk
 
         def forces(x, y, z, t_step):
             fx, fy, fz, _ = ring_pair_forces(x, y, z, pair_tabs, **ring_kw)

@@ -70,7 +70,13 @@ def shard_campaign_advance(advance, mesh: Mesh, axis_name: str = "replica"):
 
     def body(pos, vel, frc, t0, seed):
         idx = jax.lax.axis_index(axis_name)
-        n_prog = max(pos.shape[0] // advance.block_r, 1)
+        # ceil: the kernel pads local replicas UP to a block multiple and
+        # seeds per program_id, so a floor stride would overlap the PRNG
+        # streams of adjacent shards whenever block_r does not divide the
+        # local replica count
+        n_prog = max(
+            -(-pos.shape[0] // advance.block_r), 1
+        )
         return advance(pos, vel, frc, t0, seed + idx * n_prog)
 
     sharded = jax.shard_map(

@@ -365,6 +365,9 @@ def simulate_ensemble(
             ion_concentration=config.energy.ion_concentration,
             sasa=campaign_sasa,
             surface_tension=config.energy.surface_tension,
+            # the Mosaic kernel has no CPU lowering; interpret mode keeps
+            # fused_campaign configs runnable in the CPU test environment
+            interpret=jax.default_backend() != "tpu",
         )
         if mesh is not None:
             from molecular_dynamics_tpu.parallel import (

@@ -222,27 +222,28 @@ def _whitened(traj):
 # --- family runners ---------------------------------------------------------
 
 
-def _run_pretrain(ff, traj, epochs, batch_size, rng, key, logger, keeper,
-                  curves, out_dir, names, top):
+def _pretrain_generator(gen, ff, traj, epochs, batch_size, rng, key,
+                        logger, keeper, curves, params=None, t0=None, i0=0):
+    """Shared decoder-pretrain loop (Pretrain_Backbone_RMSD recipe).
+
+    lr 1e-3: at the reference's 1e-4 + clip 1.0 the decoder needs ~10k
+    steps to even reach the data's coordinate scale (measured). The
+    potential curriculum is capped at 1e-2 — the raw potential (~1e3
+    kcal/mol) would otherwise drown the O(1) geometric losses.
+    """
     import jax
     import jax.numpy as jnp
 
-    from molecular_dynamics_tpu.models.cgan import Generator
     from molecular_dynamics_tpu.train.cgan import make_pretrain_step
     from molecular_dynamics_tpu.train.datasets import frame_time_batches
 
-    gen = Generator(n_atoms=ff.n_atoms)
-    # lr 1e-3: at the reference's 1e-4 + clip 1.0 the decoder needs ~10k
-    # steps to even reach the data's coordinate scale (measured)
     opt, step = make_pretrain_step(gen, ff, lr=1e-3)
-    z0 = jnp.zeros((1, 31))
-    params = gen.init(key, z0, jnp.zeros((1,)))
+    if params is None:
+        params = gen.init(key, jnp.zeros((1, 31)), jnp.zeros((1,)))
     opt_state = opt.init(params)
-    t0 = time.time()
-    i = 0
+    t0 = time.time() if t0 is None else t0
+    i = i0
     for epoch in range(epochs):
-        # potential curriculum, capped at 1e-2: the raw potential (~1e3
-        # kcal/mol) would otherwise drown the O(1) geometric losses
         alpha = 0.01 * min(1.0, epoch / max(epochs - 1, 1))
         for frames, times in frame_time_batches(traj, batch_size, rng):
             key, sub = jax.random.split(key)
@@ -253,6 +254,20 @@ def _run_pretrain(ff, traj, epochs, batch_size, rng, key, logger, keeper,
             i += 1
             if i % 10 == 0:
                 _log(logger, curves, keeper, params, epoch, i, loss, t0)
+    return params, key, i
+
+
+def _run_pretrain(ff, traj, epochs, batch_size, rng, key, logger, keeper,
+                  curves, out_dir, names, top):
+    import jax
+    import jax.numpy as jnp
+
+    from molecular_dynamics_tpu.models.cgan import Generator
+
+    gen = Generator(n_atoms=ff.n_atoms)
+    params, key, _ = _pretrain_generator(
+        gen, ff, traj, epochs, batch_size, rng, key, logger, keeper, curves
+    )
     # generation sweep -> xyz
     t = jnp.linspace(0, 1, 20)
     z = jax.random.normal(key, (20, 31))
@@ -271,8 +286,6 @@ def _run_cgan(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     from molecular_dynamics_tpu.models.cgan import Discriminator, Generator
     from molecular_dynamics_tpu.train.cgan import CGANConfig, make_cgan_trainer
     from molecular_dynamics_tpu.train.datasets import frame_time_batches
-
-    from molecular_dynamics_tpu.train.cgan import make_pretrain_step
 
     n = ff.n_atoms
     gen = Generator(n_atoms=n)
@@ -306,25 +319,13 @@ def _run_cgan(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     )
     g_params, d_params = init_fn(key)
     t0 = time.time()
-    i = 0
     # phase 1 — decoder pretrain (the reference reuses pretrained decoder
     # checkpoints for the GAN, cgan.py:547-569; training the GAN from a
     # random decoder collapses: the informed phase sees astronomic LJ)
-    pre_opt, pre_step = make_pretrain_step(gen, ff, lr=1e-3)
-    pre_state = pre_opt.init(g_params)
-    pre_epochs = max(epochs, 4)
-    for epoch in range(pre_epochs):
-        # capped potential curriculum (see _run_pretrain)
-        alpha = 0.01 * min(1.0, epoch / max(pre_epochs - 1, 1))
-        for frames, times in frame_time_batches(traj, batch_size, rng):
-            key, sub = jax.random.split(key)
-            g_params, pre_state, loss, _ = pre_step(
-                g_params, pre_state, sub, jnp.asarray(frames),
-                jnp.asarray(times), alpha,
-            )
-            i += 1
-            if i % 10 == 0:
-                _log(logger, curves, keeper, g_params, epoch, i, loss, t0)
+    g_params, key, i = _pretrain_generator(
+        gen, ff, traj, max(epochs, 4), batch_size, rng, key,
+        logger, keeper, curves, params=g_params, t0=t0,
+    )
     # phase 2 — the three-phase adversarial + informed loop, with the
     # final artifact taken from the physics-best (lowest informed loss)
     # generator checkpoint rather than the last iterate
@@ -339,10 +340,13 @@ def _run_cgan(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
                 d_params, d_opt, g_params, k2, jnp.asarray(frames), t_b
             )
             g_params, i_opt, i_loss = informed_step(g_params, i_opt, k3, t_b)
-            if float(i_loss) < best_i:
-                best_i, best_params = float(i_loss), g_params
             i += 1
             if i % 10 == 0:
+                # the float() here is a host sync (~0.3 s/round-trip on a
+                # remote backend), so the best-checkpoint probe shares the
+                # logging cadence instead of blocking every batch
+                if float(i_loss) < best_i:
+                    best_i, best_params = float(i_loss), g_params
                 _log(logger, curves, keeper, g_params, epoch, i, i_loss, t0)
     g_params = best_params
     t = jnp.linspace(0, 1, 20)

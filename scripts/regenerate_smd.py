@@ -101,18 +101,25 @@ def main():
         constrain_h_bonds=args.gbis,
     )
     t0 = time.time()
+    # chunks must be save_every multiples: simulate_ensemble only runs
+    # n_steps // save_every * save_every steps, so a ragged chunk would
+    # silently shorten the campaign
     chunk = max(args.save_every, min(args.chunk_steps, args.steps))
+    chunk -= chunk % args.save_every
+    total = args.steps - args.steps % args.save_every
     frames_parts, log_parts = [], []
     states = ens
     done = 0
-    while done < args.steps:
-        n_chunk = min(chunk, args.steps - done)
+    while done < total:
+        n_chunk = min(chunk, total - done)
+        n_chunk -= n_chunk % args.save_every
         states, fr, lg = simulate_ensemble(
             states, ff, n_chunk, args.save_every, cfg, bias
         )
         frames_parts.append(np.asarray(fr))
         log_parts.append({k: np.asarray(v) for k, v in lg.items()})
         done += n_chunk
+    assert done == total, (done, total)
     frames = np.concatenate(frames_parts)  # (saves, R, N, 3)
     log = {
         k: np.concatenate([p[k] for p in log_parts]) for k in log_parts[0]

@@ -170,7 +170,10 @@ class TestFusedGBCampaign:
             ion_concentration=GBIS_CONFIG.ion_concentration,
             sasa=True,
             surface_tension=GBIS_CONFIG.surface_tension,
-            block_r=16, interpret=True,  # 2 SASA chunks: covers the concat
+            # the builder caps block_r at 8 when sasa is on (Mosaic
+            # scheduler pathology beyond one dense chunk) — 16 here
+            # exercises that cap
+            block_r=16, interpret=True,
         )
         vel = maxwell_boltzmann(jax.random.PRNGKey(0), ff.masses, 300.0)
         R = 4
