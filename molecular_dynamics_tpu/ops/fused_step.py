@@ -610,6 +610,7 @@ def make_fused_campaign_op(
             gsrow = gsrow_ref[:]
             gradi = gradi_ref[:]
             gqs = gqs_ref[:]
+            gqq_full = gqq_ref[:]  # static rows for the merged pair loop
             one = jnp.int32(1)
             ring_start = jnp.int32(n_pad - n_shifts)
 
@@ -681,73 +682,6 @@ def make_fused_campaign_op(
                     es = inv_eps_s * jnp.exp(-gb_kappa * f)
                     return (es * (1.0 + gb_kappa * f) - 1.0) * finv * finv
                 return (inv_eps_s - 1.0) * finv * finv
-
-            def gb_pair_pass(x, y, z, born):
-                # Still pair force (direct d-part) + per-atom dE/dR sums
-                def body(i, carry):
-                    xs, ys, zs, bs, fx, fy, fz, ax, ay, az, der, rev = carry
-                    qq = _grow(gqq_ref, i)
-                    mrow = _grow(ggm_ref, i)
-                    dx = x - xs
-                    dy = y - ys
-                    dz = z - zs
-                    d2 = dx * dx + dy * dy + dz * dz
-                    live = mrow > 0.0
-                    d2s = jnp.where(live, d2, 1.0)
-                    rinv = jax.lax.rsqrt(d2s)
-                    d = d2s * rinv
-                    bb = born * bs
-                    ex = jnp.exp(-0.25 * d2s / bb)
-                    f2 = d2s + bb * ex
-                    finv = jax.lax.rsqrt(f2)
-                    f = f2 * finv
-                    upr = _gb_uprime(f, finv)
-                    nqu = -qq * upr
-                    coeff = nqu * (d * (1.0 - 0.25 * ex) * finv) * rinv
-                    cx = coeff * dx
-                    cy = coeff * dy
-                    cz = coeff * dz
-                    half_ex_finv = 0.5 * ex * finv
-                    der = der + nqu * (bs + 0.25 * d2s / born) * half_ex_finv
-                    rev = pltpu.roll(rev, one, 1) + nqu * (
-                        born + 0.25 * d2s / bs
-                    ) * half_ex_finv
-                    return (
-                        pltpu.roll(xs, one, 1),
-                        pltpu.roll(ys, one, 1),
-                        pltpu.roll(zs, one, 1),
-                        pltpu.roll(bs, one, 1),
-                        fx - cx, fy - cy, fz - cz,
-                        pltpu.roll(ax, one, 1) + cx,
-                        pltpu.roll(ay, one, 1) + cy,
-                        pltpu.roll(az, one, 1) + cz,
-                        der, rev,
-                    )
-
-                z0 = jnp.zeros_like(x)
-                (_, _, _, _, fx, fy, fz, ax, ay, az, der, rev) = (
-                    jax.lax.fori_loop(
-                        0,
-                        n_shifts,
-                        body,
-                        (
-                            pltpu.roll(x, ring_start, 1),
-                            pltpu.roll(y, ring_start, 1),
-                            pltpu.roll(z, ring_start, 1),
-                            pltpu.roll(born, ring_start, 1),
-                            z0, z0, z0, z0, z0, z0, z0, z0,
-                        ),
-                        unroll=_GB_UNROLL,
-                    )
-                )
-                fx = fx + pltpu.roll(ax, one, 1)
-                fy = fy + pltpu.roll(ay, one, 1)
-                fz = fz + pltpu.roll(az, one, 1)
-                der = der + pltpu.roll(rev, one, 1)
-                # Born self terms E_ii = -1/2 ke q_i^2 u(R_i)
-                born_inv = 1.0 / born
-                der = der - 0.5 * gqs * _gb_uprime(born, born_inv)
-                return fx, fy, fz, der
 
             def gb_chain_pass(x, y, z, ce):
                 # dE/dR * dR/dpsi * dpsi/dd distributed over pairs
@@ -886,20 +820,35 @@ def make_fused_campaign_op(
             sasa_pass = _sasa_chunk
 
         def forces(x, y, z, t_step):
-            fx, fy, fz, _ = ring_pair_forces(x, y, z, pair_tabs, **ring_kw)
+            if use_gb:
+                # Born radii first; the Still pair force then rides the
+                # main ring loop's geometry (one sweep instead of two)
+                born, d_born_dpsi = born_pass(x, y, z)
+                fx, fy, fz, _, der = ring_pair_forces(
+                    x, y, z, pair_tabs,
+                    gb={
+                        "born": born,
+                        "uprime": _gb_uprime,
+                        "qq_t": gqq_full,
+                    },
+                    **ring_kw,
+                )
+                # Born self terms E_ii = -1/2 ke q_i^2 u(R_i)
+                der = der - 0.5 * gqs * _gb_uprime(born, 1.0 / born)
+                ce = der * d_born_dpsi * (0.5 * grho)
+                cfx, cfy, cfz = gb_chain_pass(x, y, z, ce)
+                fx = fx + cfx
+                fy = fy + cfy
+                fz = fz + cfz
+            else:
+                fx, fy, fz, _ = ring_pair_forces(
+                    x, y, z, pair_tabs, **ring_kw
+                )
             if use_sasa:
                 sfx, sfy, sfz = sasa_pass(x, y, z)
                 fx = fx + sfx
                 fy = fy + sfy
                 fz = fz + sfz
-            if use_gb:
-                born, d_born_dpsi = born_pass(x, y, z)
-                gfx, gfy, gfz, der = gb_pair_pass(x, y, z, born)
-                ce = der * d_born_dpsi * (0.5 * grho)
-                cfx, cfy, cfz = gb_chain_pass(x, y, z, ce)
-                fx = fx + gfx + cfx
-                fy = fy + gfy + cfy
-                fz = fz + gfz + cfz
 
             # --- angles: analytic 3-centre forces (forces.py:519-535) ---
             r21x = _mm(x, ad21)

@@ -38,10 +38,20 @@ def ring_pair_forces(
     x, y, z,  # (BR, L) coordinate values
     tables,  # 9 arrays, each (NSHIFT, L)
     *, n_shifts: int, cutoff2: float, krf: float, crf: float,
-    switch_dist: float, inv_switch_span: float,
+    switch_dist: float, inv_switch_span: float, gb=None,
 ):
     """Shared ring-shift pair loop over VALUES (used by the standalone pair
-    kernel and the fully-fused step kernel). Returns (fx, fy, fz, e_slots)."""
+    kernel and the fully-fused step kernel). Returns (fx, fy, fz, e_slots).
+
+    ``gb`` (fused GB-OBC path only) fuses the Still pair force into this
+    loop — the Born radii are already known when it runs, so the GB pair
+    term rides the same per-shift geometry instead of a second full sweep:
+    a dict with ``born`` (BR, L) Born radii, ``qq_t``/``gm_t`` (NSHIFT, L)
+    ELEC-scaled charge products and the pair mask (both 0.5-scaled on the
+    halfway row), and ``uprime(f, finv)`` = d/df of the Still prefactor.
+    With gb the return gains ``der`` = per-atom dE/dR_born sums (excluding
+    the Born self terms, which have no pair geometry).
+    """
     qq_t, a_t, b_t, m_t, kb_t, d0_t, a14_t, b14_t, qq14_t = tables
     lanes = x.shape[1]
     start = jnp.int32(lanes - n_shifts)
@@ -57,6 +67,13 @@ def ring_pair_forces(
     ay = jnp.zeros_like(y)
     az = jnp.zeros_like(z)
     e = jnp.zeros_like(x)
+    if gb is not None:
+        born = gb["born"]
+        uprime = gb["uprime"]
+        gqq_t = gb["qq_t"]
+        bs = pltpu.roll(born, start, 1)
+        der = jnp.zeros_like(x)
+        rev = jnp.zeros_like(x)
 
     for k in range(n_shifts, 0, -1):  # static unroll, descending
         row = k - 1
@@ -78,6 +95,9 @@ def ring_pair_forces(
         mb = kb > 0.0
         m = jnp.where(d2 <= cutoff2, msym, 0.0)
         live = (m > 0.0) | mb | (qq14 != 0.0) | (a14 != 0.0)
+        if gb is not None:
+            gqq = gqq_t[row, :][None]
+            live = live | (gqq != 0.0)
         safe = jnp.where(live, d2, 1.0)
         rinv = jax.lax.rsqrt(safe)
         rinv2 = rinv * rinv
@@ -110,6 +130,23 @@ def ring_pair_forces(
         pot = pot + a14_12 - b14_6 + qq14 * rinv
         coeff = coeff + (6.0 * b14_6 - 12.0 * a14_12) * rinv2 - qq14 * rinv2 * rinv
 
+        if gb is not None:
+            # Still pair force on the same geometry (gqq = ELEC q_i q_j,
+            # zero for ghosts, halved on the halfway row — so every GB
+            # contribution is masked/scaled through it)
+            bb_g = born * bs
+            exg = jnp.exp(-0.25 * safe / bb_g)
+            f2 = safe + bb_g * exg
+            finv = jax.lax.rsqrt(f2)
+            fdist = f2 * finv
+            nqu = -gqq * uprime(fdist, finv)
+            coeff = coeff + nqu * (d * (1.0 - 0.25 * exg) * finv) * rinv
+            half_ex_finv = 0.5 * exg * finv
+            der = der + nqu * (bs + 0.25 * safe / born) * half_ex_finv
+            rev = pltpu.roll(rev, one, 1) + nqu * (
+                born + 0.25 * safe / bs
+            ) * half_ex_finv
+
         cx = coeff * dx
         cy = coeff * dy
         cz = coeff * dz
@@ -126,10 +163,15 @@ def ring_pair_forces(
             xs = pltpu.roll(xs, one, 1)
             ys = pltpu.roll(ys, one, 1)
             zs = pltpu.roll(zs, one, 1)
+            if gb is not None:
+                bs = pltpu.roll(bs, one, 1)
 
     fx = fx + pltpu.roll(ax, one, 1)
     fy = fy + pltpu.roll(ay, one, 1)
     fz = fz + pltpu.roll(az, one, 1)
+    if gb is not None:
+        der = der + pltpu.roll(rev, one, 1)
+        return fx, fy, fz, e, der
     return fx, fy, fz, e
 
 
