@@ -224,16 +224,27 @@ def build_ff_params(
 def _backbone_cross_terms(top: Topology) -> np.ndarray:
     """Standard protein CMAP cross-terms (C-,N,CA,C,N,CA,C,N+) per interior
     residue, derived from backbone atom names — the pairing CHARMM's
-    topology generation writes into !NCRTERM for protein segments."""
+    topology generation writes into !NCRTERM for protein segments.
+
+    Residues are keyed by (segment, res_id): PSF res_ids restart per
+    segment, so same-numbered residues in different chains must not
+    collapse into one entry, and phi/psi must never be linked across a
+    chain break. Only numerically consecutive res_ids within one segment
+    are paired."""
+    seg_ids = getattr(top, "seg_ids", None)
+    if seg_ids is None:
+        seg_ids = np.zeros(top.n_atoms, np.int64)
     by_res = {}
-    for i, (r, nm) in enumerate(zip(top.res_ids, top.atom_names)):
-        by_res.setdefault(int(r), {})[str(nm)] = i
-    res = sorted(by_res)
+    for i, (s, r, nm) in enumerate(zip(seg_ids, top.res_ids, top.atom_names)):
+        by_res.setdefault((str(s), int(r)), {})[str(nm)] = i
     rows = []
-    for k in range(1, len(res) - 1):
-        prev, cur, nxt = by_res[res[k - 1]], by_res[res[k]], by_res[res[k + 1]]
+    for (seg, rid), cur in sorted(by_res.items()):
+        prev = by_res.get((seg, rid - 1))
+        nxt = by_res.get((seg, rid + 1))
         if (
-            "C" in prev
+            prev is not None
+            and nxt is not None
+            and "C" in prev
             and all(n in cur for n in ("N", "CA", "C"))
             and "N" in nxt
         ):

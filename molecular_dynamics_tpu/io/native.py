@@ -21,6 +21,7 @@ import numpy as np
 _NATIVE_DIR = pathlib.Path(__file__).resolve().parents[2] / "native"
 _LIB_PATH = _NATIVE_DIR / "libmdx_native.so"
 _lib = None
+_load_failed = False
 
 
 def _try_build() -> bool:
@@ -45,13 +46,29 @@ def _stale() -> bool:
 
 
 def _load():
-    global _lib
+    global _lib, _load_failed
     if _lib is not None:
         return _lib
+    if _load_failed:
+        return None
     if (not _LIB_PATH.exists() or _stale()) and not _try_build():
         if not _LIB_PATH.exists():
+            _load_failed = True
             return None
     lib = ctypes.CDLL(str(_LIB_PATH))
+    # A stale pre-ABI-change .so can survive a failed rebuild (no compiler);
+    # binding new symbols against it would crash every codec call instead of
+    # degrading to the pure-python fallback — verify the full symbol set.
+    _symbols = (
+        "mdx_dcd_write", "mdx_dcd_probe", "mdx_dcd_read",
+        "mdx_xtc_write", "mdx_xtc_probe", "mdx_xtc_read",
+        "mdx_mdxtc_write", "mdx_mdxtc_probe", "mdx_mdxtc_read",
+        "mdx_sink_open", "mdx_sink_push", "mdx_sink_close",
+        "mdx_abi_version",
+    )
+    if not all(hasattr(lib, s) for s in _symbols) or lib.mdx_abi_version() != 2:
+        _load_failed = True
+        return None
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     lib.mdx_dcd_write.argtypes = [
         ctypes.c_char_p, f32p, ctypes.c_int64, ctypes.c_int64,

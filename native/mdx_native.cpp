@@ -28,6 +28,11 @@
 
 extern "C" {
 
+// Bumped on any signature change; io/native.py refuses to bind a .so whose
+// version doesn't match (a stale lib surviving a failed rebuild must degrade
+// to the pure-python codecs, not crash).
+int mdx_abi_version() { return 2; }
+
 // ---------------------------------------------------------------------------
 // DCD
 // ---------------------------------------------------------------------------

@@ -169,3 +169,50 @@ class TestCmap:
         cfg = dataclasses.replace(REFERENCE_CONFIG, terms=("cmap",))
         with pytest.raises(ValueError, match="CMAP"):
             energy_terms(jnp.asarray(coords, jnp.float32), ff, config=cfg)
+
+
+class TestBackboneCrossTermsSegments:
+    """CMAP pairing must respect segment boundaries (PSF res_ids restart
+    per segment; phi/psi must never link across a chain break)."""
+
+    @staticmethod
+    def _chain_top(seg_ids, res_ids):
+        from molecular_dynamics_tpu.topology import Topology
+
+        names = []
+        for _ in range(len(res_ids) // 3):
+            names += ["N", "CA", "C"]
+        n = len(names)
+        return Topology(
+            atom_types=np.array(names, object),
+            atom_names=np.array(names, object),
+            res_names=np.array(["ALA"] * n, object),
+            res_ids=np.asarray(res_ids, np.int64),
+            charges=np.zeros(n),
+            masses=np.ones(n),
+            seg_ids=np.array(seg_ids, object),
+        )
+
+    def test_two_chains_do_not_collapse(self):
+        from molecular_dynamics_tpu.ff.builder import _backbone_cross_terms
+
+        # two segments, each residues 1..3 (res_ids restart per segment)
+        seg = ["A"] * 9 + ["B"] * 9
+        res = [1, 1, 1, 2, 2, 2, 3, 3, 3] * 2
+        rows = _backbone_cross_terms(self._chain_top(seg, res))
+        # one interior residue per chain -> 2 cross-terms, none spanning
+        # the A|B boundary (atoms 0-8 vs 9-17)
+        assert rows.shape == (2, 8)
+        for row in rows:
+            assert (row < 9).all() or (row >= 9).all()
+        # chain A's interior residue pairs C(res1), res2 backbone, N(res3)
+        np.testing.assert_array_equal(rows[0], [2, 3, 4, 5, 3, 4, 5, 6])
+        np.testing.assert_array_equal(rows[1], rows[0] + 9)
+
+    def test_gap_in_res_ids_breaks_pairing(self):
+        from molecular_dynamics_tpu.ff.builder import _backbone_cross_terms
+
+        # missing residue 3: residues 2 and 4 are NOT consecutive
+        res = [1, 1, 1, 2, 2, 2, 4, 4, 4, 5, 5, 5]
+        rows = _backbone_cross_terms(self._chain_top(["A"] * 12, res))
+        assert rows.shape == (0, 8)

@@ -144,7 +144,7 @@ class TestFusedCampaign:
         assert viol.max() < 1e-5, f"max violation {viol.max():.2e} A"
 
     def test_constrained_default_sweeps_converge(self, full_system):
-        """Production sweep counts (10/5) keep violations < 1e-6 A."""
+        """Default sweep counts (shake 6 / rattle 3) keep violations < 1e-6 A."""
         from molecular_dynamics_tpu.constraints import (
             hydrogen_bond_constraints,
         )
