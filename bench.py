@@ -7,7 +7,18 @@ north star: >= 1e6 steps/sec aggregate). The whole campaign is one jitted
 ``lax.fori_loop`` of fused force+BAOAB steps — the TPU replacement for the
 reference's 50 independent NAMD jobs (SURVEY.md §3.5).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+One invocation measures three protocols and prints ONE JSON line:
+
+- primary: rigidBonds ALL @ 2 fs vacuum/RFA (torchmd tutorial physics,
+  Test-1/tutorial.ipynb cells 13-18),
+- secondary ``gbis``: + in-kernel GB-OBC polar solvation (NAMD ``gbis on``,
+  gendirs_GBIS.py:55-63),
+- secondary ``gbis_sasa``: + in-kernel LCPO SASA (NAMD ``sasa on``,
+  gendirs_GBIS.py:64) — the full protocol that generated the reference's
+  training data.
+
+Env knobs: MDX_BENCH_GBIS=1 / MDX_BENCH_SASA=1 promote those protocols to
+the primary metric; MDX_BENCH_SECONDARY=0 skips the extra runs.
 """
 
 import dataclasses
@@ -24,6 +35,9 @@ import jax
 if os.environ.get("MDX_BENCH_RBG", "1") == "1":
     # rbg PRNG: cheaper per-step thermostat noise on TPU than threefry
     jax.config.update("jax_default_prng_impl", "rbg")
+
+# persistent compile cache: kernel variants recompile only when they change
+jax.config.update("jax_compilation_cache_dir", "/tmp/mdx_jax_cache")
 
 import jax.numpy as jnp
 
@@ -50,22 +64,10 @@ N_STEPS = int(os.environ.get("MDX_BENCH_STEPS", 2000))
 TARGET = 1e6  # aggregate steps/sec north star
 
 
-def main():
-    ff, coords, _ = decaalanine_full(dtype=jnp.float32)
+def run_case(ff, pos, gbis: bool, sasa: bool, constrain: bool) -> float:
+    """Measure one protocol; returns aggregate steps/sec."""
     n_atoms = ff.n_atoms
-
-    # MDX_BENCH_GBIS=1 benches the full NAMD implicit-solvent protocol
-    # (gbis on, gendirs_GBIS.py:55-63) with in-kernel GB-OBC ring passes;
-    # default is the vacuum torchmd-parity config.
-    gbis = os.environ.get("MDX_BENCH_GBIS", "0") == "1"
     e_cfg = GBIS_POLAR_CONFIG if gbis else REFERENCE_CONFIG
-
-    force = lambda p: -jax.grad(
-        lambda q: total_energy(q, ff, config=e_cfg)
-    )(p)
-    pos = jax.jit(
-        lambda p: minimize_fire(p, force, n_steps=500, dt_start=0.001, dt_max=0.01)
-    )(jnp.asarray(coords, jnp.float32))
 
     # SMD campaign state: schedule starts at the current end-to-end distance
     key = jax.random.PRNGKey(0)
@@ -90,7 +92,6 @@ def main():
     # NAMD campaign protocol: rigidBonds ALL at 2 fs (gendirs_GBIS.py:66) —
     # SHAKE/RATTLE runs inside the fused kernel. MDX_BENCH_CONSTRAIN=0
     # benches the unconstrained kernel.
-    constrain = os.environ.get("MDX_BENCH_CONSTRAIN", "1") == "1"
     cons = None
     if constrain:
         from molecular_dynamics_tpu.constraints import hydrogen_bond_constraints
@@ -113,6 +114,7 @@ def main():
             rattle_iters=int(os.environ.get("MDX_BENCH_RATTLE_ITERS", 3)),
             gb=gbis,
             ion_concentration=e_cfg.ion_concentration if gbis else 0.0,
+            sasa=sasa,
             block_r=int(os.environ.get("MDX_BENCH_CBLOCK", 128 if not gbis else 64)),
         )
     else:
@@ -161,22 +163,50 @@ def main():
     elapsed = time.perf_counter() - t0
 
     assert bool(jnp.all(jnp.isfinite(ensemble.pos))), "trajectory diverged"
-    steps_per_sec = N_STEPS * N_REPLICAS / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    ("decaalanine_104atom_langevin_smd_gbis" if gbis
-                     else "decaalanine_104atom_langevin_smd")
-                    + ("_rigidbonds" if cons is not None else "")
-                    + "_steps_per_sec_1024rep"
-                ),
-                "value": round(steps_per_sec, 1),
-                "unit": "steps/sec (aggregate)",
-                "vs_baseline": round(steps_per_sec / TARGET, 4),
-            }
-        )
+    return N_STEPS * N_REPLICAS / elapsed
+
+
+def main():
+    ff, coords, _ = decaalanine_full(dtype=jnp.float32)
+
+    force = lambda p: -jax.grad(
+        lambda q: total_energy(q, ff, config=REFERENCE_CONFIG)
+    )(p)
+    pos = jax.jit(
+        lambda p: minimize_fire(p, force, n_steps=500, dt_start=0.001, dt_max=0.01)
+    )(jnp.asarray(coords, jnp.float32))
+
+    gbis = os.environ.get("MDX_BENCH_GBIS", "0") == "1"
+    sasa = os.environ.get("MDX_BENCH_SASA", "0") == "1"
+    constrain = os.environ.get("MDX_BENCH_CONSTRAIN", "1") == "1"
+    primary = run_case(ff, pos, gbis=gbis or sasa, sasa=sasa, constrain=constrain)
+    name = (
+        "decaalanine_104atom_langevin_smd"
+        + ("_gbis" if (gbis or sasa) else "")
+        + ("_sasa" if sasa else "")
+        + ("_rigidbonds" if constrain else "")
+        + "_steps_per_sec_1024rep"
     )
+    record = {
+        "metric": name,
+        "value": round(primary, 1),
+        "unit": "steps/sec (aggregate)",
+        "vs_baseline": round(primary / TARGET, 4),
+    }
+
+    # Secondary protocols (VERDICT r2 #2): the full NAMD campaign physics
+    # numbers ride along in the same driver-captured JSON line.
+    if os.environ.get("MDX_BENCH_SECONDARY", "1") == "1" and not (gbis or sasa):
+        v_gb = run_case(ff, pos, gbis=True, sasa=False, constrain=constrain)
+        v_full = run_case(ff, pos, gbis=True, sasa=True, constrain=constrain)
+        record["secondary"] = {
+            "gbis_steps_per_sec": round(v_gb, 1),
+            "gbis_vs_baseline": round(v_gb / TARGET, 4),
+            "gbis_sasa_steps_per_sec": round(v_full, 1),
+            "gbis_sasa_vs_baseline": round(v_full / TARGET, 4),
+        }
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -46,6 +46,7 @@ from molecular_dynamics_tpu.integrate import (
     kinetic_energy,
     temperature,
     minimize_fire,
+    minimize_lbfgs,
 )
 from molecular_dynamics_tpu.bias import HarmonicSMDBias
 
@@ -72,5 +73,6 @@ __all__ = [
     "kinetic_energy",
     "temperature",
     "minimize_fire",
+    "minimize_lbfgs",
     "HarmonicSMDBias",
 ]

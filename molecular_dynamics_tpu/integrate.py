@@ -197,6 +197,125 @@ def minimize_fire(
     return pos
 
 
+def minimize_lbfgs(
+    pos: Array,
+    energy_fn: Callable[[Array], Array],
+    n_steps: int = 100,
+    history: int = 10,
+    c1: float = 1e-4,
+    max_ls: int = 20,
+    curvature_eps: float = 1e-10,
+) -> Array:
+    """L-BFGS structure minimization (fully jit-compatible, static shapes).
+
+    The quasi-Newton counterpart of the reference tutorial's
+    ``minimize_bfgs`` (V_Calculations/Test-1/tutorial.ipynb cell 14, from
+    upstream torchmd): limited-memory two-loop recursion over a fixed
+    ``history``-slot circular buffer, with an Armijo backtracking line
+    search run as a ``lax.while_loop``. Converges much faster than FIRE on
+    stiff LJ contacts; everything (curvature filtering, buffer rotation,
+    line search) is branchless masked arithmetic so the whole minimization
+    is one compiled ``fori_loop``.
+
+    ``energy_fn`` maps positions (same shape as ``pos``) to a scalar.
+    """
+    shape = pos.shape
+    x0 = pos.reshape(-1)
+    d_dim = x0.shape[0]
+    m = history
+    dtype = x0.dtype
+
+    val_grad = jax.value_and_grad(lambda x: energy_fn(x.reshape(shape)))
+
+    def two_loop(g, s_buf, y_buf, rho, k):
+        """r = H_k @ g with the standard two-loop recursion."""
+        idxs = (k - 1 - jnp.arange(m)) % m  # newest .. oldest
+        valid = (jnp.arange(m) < jnp.minimum(k, m)).astype(dtype)
+
+        def bwd(i, carry):
+            q, alphas = carry
+            j = idxs[i]
+            a = rho[j] * jnp.vdot(s_buf[j], q) * valid[i]
+            return q - a * y_buf[j], alphas.at[i].set(a)
+
+        q, alphas = jax.lax.fori_loop(
+            0, m, bwd, (g, jnp.zeros((m,), dtype))
+        )
+        jm = (k - 1) % m
+        sy = jnp.vdot(s_buf[jm], y_buf[jm])
+        yy = jnp.vdot(y_buf[jm], y_buf[jm])
+        gamma = jnp.where((k > 0) & (yy > 1e-12), sy / yy, 1.0)
+        r = gamma * q
+
+        def fwd(i, r):
+            ii = m - 1 - i
+            j = idxs[ii]
+            b = rho[j] * jnp.vdot(y_buf[j], r)
+            return r + (alphas[ii] - b) * s_buf[j] * valid[ii]
+
+        return jax.lax.fori_loop(0, m, fwd, r)
+
+    def body(_, carry):
+        x, e, g, s_buf, y_buf, rho, k = carry
+        d = -two_loop(g, s_buf, y_buf, rho, k)
+        gd = jnp.vdot(g, d)
+        # safeguard: fall back to steepest descent on a non-descent direction
+        bad = gd >= 0.0
+        d = jnp.where(bad, -g, d)
+        gd = jnp.where(bad, -jnp.vdot(g, g), gd)
+
+        def ls_cond(ls):
+            alpha, n, e_new, _, _ = ls
+            # NaN energies (blow-up at large alpha) must keep shrinking,
+            # so test the *negation* of Armijo acceptance
+            return jnp.logical_not(
+                e_new <= e + c1 * alpha * gd
+            ) & (n < max_ls)
+
+        def ls_body(ls):
+            alpha, n, _, _, _ = ls
+            alpha = jnp.where(n > 0, alpha * 0.5, alpha)
+            e_new, g_new = val_grad(x + alpha * d)
+            return alpha, n + 1, e_new, g_new, alpha
+
+        e_try, g_try = val_grad(x + d)
+        alpha, _, e_new, g_new, _ = jax.lax.while_loop(
+            ls_cond, ls_body,
+            (jnp.asarray(1.0, dtype), jnp.int32(1), e_try, g_try,
+             jnp.asarray(1.0, dtype)),
+        )
+        # reject the step entirely if the line search never found descent
+        ok = e_new <= e
+        x_new = jnp.where(ok, x + alpha * d, x)
+        e_new = jnp.where(ok, e_new, e)
+        g_new = jnp.where(ok, g_new, g)
+
+        s = x_new - x
+        y = g_new - g
+        sy = jnp.vdot(s, y)
+        keep = ok & (sy > curvature_eps)
+        slot = k % m
+        s_buf = jnp.where(keep, s_buf.at[slot].set(s), s_buf)
+        y_buf = jnp.where(keep, y_buf.at[slot].set(y), y_buf)
+        rho = jnp.where(
+            keep, rho.at[slot].set(1.0 / jnp.maximum(sy, curvature_eps)),
+            rho,
+        )
+        k = jnp.where(keep, k + 1, k)
+        return x_new, e_new, g_new, s_buf, y_buf, rho, k
+
+    e0, g0 = val_grad(x0)
+    init = (
+        x0, e0, g0,
+        jnp.zeros((m, d_dim), dtype),
+        jnp.zeros((m, d_dim), dtype),
+        jnp.zeros((m,), dtype),
+        jnp.zeros((), jnp.int32),
+    )
+    x, *_ = jax.lax.fori_loop(0, n_steps, body, init)
+    return x.reshape(shape)
+
+
 def minimize_gd(
     pos: Array,
     force_fn: Callable[[Array], Array],

@@ -463,6 +463,12 @@ def make_fused_campaign_op(
         gb_shift_tables, gb_lane_tables = (), ()
 
     use_sasa = bool(sasa)
+    #: replica rows per dense-SASA evaluation. Inlining the (CH, L, L)
+    #: chunk body more than once makes Mosaic's scheduler pathological
+    #: (block_r=32 compiled >30 min on v5e), so larger blocks loop over
+    #: 8-row sub-chunks with a fori_loop + VMEM scratch (one body
+    #: instance); 8 is the f32 sublane tile, so smaller is never useful.
+    sasa_chunk_r = 8
     if use_sasa:
         if not ff.has_gb:
             raise ValueError(
@@ -470,12 +476,7 @@ def make_fused_campaign_op(
                 "(solvent.attach_gb_params)"
             )
         sasa_tables = _sasa_tables(ff, n_pad)
-        # >1 inlined SASA chunk makes Mosaic's scheduler pathological
-        # (block_r=32 compiled >30 min and block_r=64 OOM'd scoped VMEM on
-        # v5e); a single (8, L, L) chunk compiles in seconds. 8 is also the
-        # Mosaic sublane minimum, so the scoped-VMEM limit is raised below
-        # instead of shrinking the block further.
-        block_r = min(block_r, 8)
+        block_r = max(block_r, sasa_chunk_r)
         gamma_sasa = float(surface_tension)
     else:
         sasa_tables = ()
@@ -522,7 +523,12 @@ def make_fused_campaign_op(
         (
             ox_ref, oy_ref, oz_ref, ovx_ref, ovy_ref, ovz_ref,
             ofx_ref, ofy_ref, ofz_ref,
-        ) = rest
+        ) = rest[:9]
+        if use_sasa:
+            # VMEM scratch for the 8-row sub-chunk loop of the dense pass
+            (
+                ssx_ref, ssy_ref, ssz_ref, sfx_ref, sfy_ref, sfz_ref,
+            ) = rest[9:15]
         if temperature > 0.0:
             pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
         pair_tabs = tuple(
@@ -815,9 +821,27 @@ def make_fused_campaign_op(
                     jnp.sum(tz, axis=1) - jnp.sum(tz, axis=2),
                 )
 
-            # block_r is capped at 8 when SASA is on, so the dense pass
-            # covers the whole block in one (<=8, L, L) evaluation
-            sasa_pass = _sasa_chunk
+            def sasa_pass(x, y, z):
+                # 8-row sub-chunks through VMEM scratch: one (8, L, L)
+                # dense body instance regardless of block_r (see the
+                # sasa_chunk_r note above), dynamic sublane-aligned slices
+                ssx_ref[:], ssy_ref[:], ssz_ref[:] = x, y, z
+
+                def body(c, _):
+                    r0 = pl.multiple_of(c * sasa_chunk_r, sasa_chunk_r)
+                    sl = pl.ds(r0, sasa_chunk_r)
+                    cfx, cfy, cfz = _sasa_chunk(
+                        ssx_ref[sl, :], ssy_ref[sl, :], ssz_ref[sl, :]
+                    )
+                    sfx_ref[sl, :] = cfx
+                    sfy_ref[sl, :] = cfy
+                    sfz_ref[sl, :] = cfz
+                    return 0
+
+                jax.lax.fori_loop(
+                    0, block_r // sasa_chunk_r, body, 0, unroll=1
+                )
+                return sfx_ref[:], sfy_ref[:], sfz_ref[:]
 
         def forces(x, y, z, t_step):
             if use_gb:
@@ -1099,19 +1123,25 @@ def make_fused_campaign_op(
             ]
 
         out_shape = [jax.ShapeDtypeStruct((r, n_pad), jnp.float32)] * 9
+        scratch_shapes = (
+            [pltpu.VMEM((block_r, n_pad), jnp.float32)] * 6
+            if use_sasa
+            else []
+        )
         outs = pl.pallas_call(
             kernel,
             grid=(r // block_r,),
             in_specs=[smem_spec, smem_spec] + [row_spec] * 9 + tab_specs,
             out_specs=[row_spec] * 9,
             out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
             interpret=interpret,
             # the SASA variant dense temporaries overflow the default
-            # 16M scoped-VMEM budget by ~1M when the kernel sits inside a
+            # 16M scoped-VMEM budget when the kernel sits inside a
             # lax.scan; give it explicit headroom
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True,
-                vmem_limit_bytes=(20 * 1024 * 1024 if use_sasa else None),
+                vmem_limit_bytes=(40 * 1024 * 1024 if use_sasa else None),
             ),
         )(
             jnp.asarray(t0, jnp.int32).reshape(1, 1),

@@ -300,6 +300,7 @@ def simulate_ensemble(
     bias=None,
     mesh=None,
     axis_name: str = "replica",
+    obs_every: int = 1,
 ) -> Tuple[MDState, jnp.ndarray, dict]:
     """Replica-ensemble rollout: ``states`` has a leading replica axis.
 
@@ -312,9 +313,22 @@ def simulate_ensemble(
     (``parallel.shard_campaign_advance``) with decorrelated per-shard
     thermostat streams.
 
-    Returns (final_states, frames (n_saves, R, N, 3), log of (n_saves, R)).
+    ``obs_every`` logs the observables dict only every Nth saved frame
+    (frames are still saved every ``save_every`` steps): the per-term
+    energy evaluation costs a full composed force-field pass per save,
+    which can dominate low-replica campaigns driven by the fused kernel.
+    ``n_steps // save_every`` must be divisible by it.
+
+    Returns (final_states, frames (n_saves, R, N, 3), log of
+    (n_saves // obs_every, R)).
     """
     n_saves = n_steps // save_every
+    obs_every = max(1, int(obs_every))
+    if n_saves % obs_every:
+        raise ValueError(
+            f"n_steps // save_every = {n_saves} must be divisible by "
+            f"obs_every = {obs_every}"
+        )
     obs_fn = functools.partial(_observables, ff=ff, config=config, bias=bias)
 
     term_set = set(config.energy.terms)
@@ -376,39 +390,44 @@ def simulate_ensemble(
 
             advance = shard_campaign_advance(advance, mesh, axis_name)
 
-        @jax.jit
-        def run(states):
-            def segment(states, _):
-                seed_key = jax.random.fold_in(states.key[0], states.step[0])
-                seed = jnp.right_shift(
-                    jax.random.bits(seed_key, dtype=jnp.uint32), 1
-                ).astype(jnp.int32)
-                pos, vel, frc = advance(
-                    states.pos, states.vel, states.forces,
-                    states.step[0], seed,
-                )
-                states = states.replace(
-                    pos=pos, vel=vel, forces=frc,
-                    step=states.step + save_every,
-                )
-                return states, (states.pos, jax.vmap(obs_fn)(states))
-
-            return jax.lax.scan(segment, states, None, length=n_saves)
+        def segment(states, _):
+            seed_key = jax.random.fold_in(states.key[0], states.step[0])
+            seed = jnp.right_shift(
+                jax.random.bits(seed_key, dtype=jnp.uint32), 1
+            ).astype(jnp.int32)
+            pos, vel, frc = advance(
+                states.pos, states.vel, states.forces,
+                states.step[0], seed,
+            )
+            states = states.replace(
+                pos=pos, vel=vel, forces=frc,
+                step=states.step + save_every,
+            )
+            return states, states.pos
 
     else:
         step_fn = make_ensemble_step_fn(ff, config, bias)
 
-        @jax.jit
-        def run(states):
-            def segment(states, _):
-                states = jax.lax.fori_loop(
-                    0, save_every, lambda _, s: step_fn(s), states
-                )
-                return states, (states.pos, jax.vmap(obs_fn)(states))
+        def segment(states, _):
+            states = jax.lax.fori_loop(
+                0, save_every, lambda _, s: step_fn(s), states
+            )
+            return states, states.pos
 
-            return jax.lax.scan(segment, states, None, length=n_saves)
+    @jax.jit
+    def run(states):
+        # observables every obs_every-th save: inner scan collects frames,
+        # the (expensive) per-term energy log runs once per outer block
+        def block(states, _):
+            states, frames = jax.lax.scan(
+                segment, states, None, length=obs_every
+            )
+            return states, (frames, jax.vmap(obs_fn)(states))
+
+        return jax.lax.scan(block, states, None, length=n_saves // obs_every)
 
     final, (frames, log) = run(states)
+    frames = frames.reshape((n_saves,) + frames.shape[2:])
     return final, frames, log
 
 

@@ -449,12 +449,26 @@ def _run_lstm(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
             i += 1
             if i % 10 == 0:
                 _log(logger, curves, keeper, params, epoch, i, loss, t0)
-    if not nll:
-        from molecular_dynamics_tpu.evaluate import unwhiten
+    from molecular_dynamics_tpu.evaluate import unwhiten
 
-        w0 = jnp.asarray(
-            traj.trajectories[0][:history].reshape(history, feat)
+    w0 = jnp.asarray(
+        traj.trajectories[0][:history].reshape(history, feat)
+    )
+    if nll:
+        # predict-and-emit from the Gaussian head: sampled autoregressive
+        # rollout (Alpha/NLL_Train.py:40-356 + predsToPDB.py capability)
+        from molecular_dynamics_tpu.train.seq import nll_sampling_rollout
+
+        key, sub = jax.random.split(key)
+        frames = nll_sampling_rollout(model, params, w0, sub, n_steps=100)
+        coords = unwhiten(
+            np.asarray(frames).reshape(-1, n, 3), w_mean, w_std
         )
+        _export_xyz(
+            os.path.join(out_dir, "LSTMNLL_generated.xyz"), coords, names
+        )
+        _eval_generated(out_dir, "lstm-nll", coords, raw_traj)
+    else:
         frames = autoregressive_rollout(model, params, w0, n_steps=100)
         coords = unwhiten(
             np.asarray(frames).reshape(-1, n, 3), w_mean, w_std
@@ -924,6 +938,233 @@ def _run_node(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     return params
 
 
+def _run_seq2seq_gan(ff, traj, epochs, batch_size, rng, key, logger, keeper,
+                     curves, out_dir, names, top):
+    """Adversarial Seq2Seq: noise-fed decoder rollouts scored by an LSTM
+    sequence critic (Seq2Seq_Position_GAN_V1/lstm.py:99-237)."""
+    import jax
+    import jax.numpy as jnp
+
+    from molecular_dynamics_tpu.evaluate import unwhiten
+    from molecular_dynamics_tpu.models.seq import Seq2Seq, SequenceDiscriminator
+    from molecular_dynamics_tpu.train.seq import make_seq2seq_gan_trainer
+
+    n = ff.n_atoms
+    feat = n * 3
+    history, decode_len = 10, 5
+    raw_traj = traj
+    traj, w_mean, w_std = _whitened(traj)
+    gen = Seq2Seq(out_dim=feat)
+    disc = SequenceDiscriminator()
+    opt_g, opt_d, g_step, d_step = make_seq2seq_gan_trainer(
+        gen, disc, decode_len
+    )
+    key, kg, kd = jax.random.split(key, 3)
+    g_params = gen.init(
+        kg, jnp.zeros((1, history, feat)), jax.random.PRNGKey(0), decode_len
+    )
+    d_params = disc.init(kd, jnp.zeros((1, decode_len, feat)))
+    g_opt, d_opt = opt_g.init(g_params), opt_d.init(d_params)
+    t0 = time.time()
+    i = 0
+    for epoch in range(epochs):
+        for t_arr in traj.trajectories:
+            flat = t_arr.reshape(len(t_arr), -1)
+            for s in range(0, len(flat) - history - decode_len, batch_size):
+                count = min(batch_size, len(flat) - s - history - decode_len)
+                wins = np.stack([
+                    flat[s + j : s + j + history] for j in range(count)
+                ])
+                tgts = np.stack([
+                    flat[s + j + history : s + j + history + decode_len]
+                    for j in range(count)
+                ])
+                key, k1, k2 = jax.random.split(key, 3)
+                wins_j, tgts_j = jnp.asarray(wins), jnp.asarray(tgts)
+                g_params, g_opt, g_loss = g_step(
+                    g_params, g_opt, d_params, k1, wins_j, tgts_j
+                )
+                d_params, d_opt, d_loss = d_step(
+                    d_params, d_opt, g_params, k2, wins_j, tgts_j
+                )
+                i += 1
+                if i % 10 == 0:
+                    _log(logger, curves, keeper, g_params, epoch, i, g_loss, t0)
+    w0 = jnp.asarray(traj.trajectories[0][:history].reshape(history, feat))
+    key, sub = jax.random.split(key)
+    gen_seq = gen.apply(g_params, w0[None], sub, 50)[0]
+    coords = unwhiten(np.asarray(gen_seq).reshape(-1, n, 3), w_mean, w_std)
+    _export_xyz(
+        os.path.join(out_dir, "Seq2SeqGAN_generated.xyz"), coords, names
+    )
+    _eval_generated(out_dir, "seq2seq-gan", coords, raw_traj)
+    return g_params
+
+
+def _run_lstm_gat(ff, traj, epochs, batch_size, rng, key, logger, keeper,
+                  curves, out_dir, names, top):
+    """LSTM temporal encoder + GAT spatial decoder predicting the next frame
+    from a per-atom history window (LSTM_GAT_V2/lstm.py:64-125)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from molecular_dynamics_tpu.evaluate import unwhiten
+    from molecular_dynamics_tpu.models.gat import LSTMGAT
+
+    n = ff.n_atoms
+    history = 5
+    raw_traj = traj
+    traj, w_mean, w_std = _whitened(traj)
+    model = LSTMGAT(out_dim=3, k=min(10, n - 1))
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
+
+    # windows: (B, history, N, 3) per-atom series -> next frame (B, N, 3)
+    wins_l, tgt_l = [], []
+    for t_arr in traj.trajectories:
+        for s in range(0, len(t_arr) - history - 1):
+            wins_l.append(t_arr[s : s + history])
+            tgt_l.append(t_arr[s + history])
+    wins_a = np.stack(wins_l).astype(np.float32)
+    tgt_a = np.stack(tgt_l).astype(np.float32)
+
+    def apply_batch(p, wins):
+        # (B, T, N, 3) -> per-atom series (B, N, T, 3); graph from the
+        # latest frame; predict the next-frame delta per atom
+        hist = jnp.moveaxis(wins, 1, 2)
+        pos = wins[:, -1]
+        delta = jax.vmap(lambda h, q: model.apply(p, h, q))(hist, pos)
+        return pos + delta
+
+    @jax.jit
+    def step(params, opt_state, wins, tgt):
+        def loss(p):
+            return jnp.mean((apply_batch(p, wins) - tgt) ** 2)
+
+        val, grads = jax.value_and_grad(loss)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, val
+
+    params = model.init(
+        key, jnp.zeros((n, history, 3)), jnp.zeros((n, 3))
+    )
+    opt_state = opt.init(params)
+    t0 = time.time()
+    i = 0
+    for epoch in range(epochs):
+        order = rng.permutation(len(wins_a))
+        for s in range(0, len(order) - batch_size + 1, batch_size):
+            sel = order[s : s + batch_size]
+            params, opt_state, loss = step(
+                params, opt_state, jnp.asarray(wins_a[sel]),
+                jnp.asarray(tgt_a[sel]),
+            )
+            i += 1
+            if i % 10 == 0:
+                _log(logger, curves, keeper, params, epoch, i, loss, t0)
+
+    # autoregressive rollout with a shifting per-atom history window
+    @jax.jit
+    def roll(params, w0):
+        def stepf(w, _):
+            pred = apply_batch(params, w[None])[0]
+            w = jnp.concatenate([w[1:], pred[None]], axis=0)
+            return w, pred
+
+        _, out = jax.lax.scan(
+            stepf, w0, None, length=50
+        )
+        return out
+
+    frames = roll(params, jnp.asarray(traj.trajectories[0][:history]))
+    coords = unwhiten(np.asarray(frames), w_mean, w_std)
+    _export_xyz(os.path.join(out_dir, "LSTMGAT_generated.xyz"), coords, names)
+    _eval_generated(out_dir, "lstm-gat", coords, raw_traj)
+    return params
+
+
+def _run_aae(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
+             out_dir, names, top):
+    """Adversarial autoencoder: reconstruction + latent critic shaping the
+    code distribution to the Gaussian prior
+    (Molecule_Dynamics_v1/Adversarial_Autoencoder/autoencoder.py)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from molecular_dynamics_tpu.evaluate import unwhiten
+    from molecular_dynamics_tpu.models.autoencoder import (
+        LatentDiscriminator,
+        MLPAutoencoder,
+        aae_losses,
+    )
+    from molecular_dynamics_tpu.train.datasets import frame_time_batches
+
+    n = ff.n_atoms
+    feat = n * 3
+    latent = 16
+    raw_traj = traj
+    traj, w_mean, w_std = _whitened(traj)
+    ae = MLPAutoencoder(in_dim=feat, latent_dim=latent)
+    disc = LatentDiscriminator()
+    opt_ae = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
+    opt_d = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-4))
+
+    @jax.jit
+    def ae_step(ae_params, ae_opt, d_params, x):
+        def loss(p):
+            recon, z = ae.apply(p, x)
+            rec, g_adv, _ = aae_losses(recon, x, disc.apply(d_params, z))
+            return rec + 0.1 * g_adv
+
+        val, grads = jax.value_and_grad(loss)(ae_params)
+        updates, ae_opt = opt_ae.update(grads, ae_opt, ae_params)
+        return optax.apply_updates(ae_params, updates), ae_opt, val
+
+    @jax.jit
+    def d_step(d_params, d_opt, ae_params, key, x):
+        _, z = ae.apply(ae_params, x)
+        z = jax.lax.stop_gradient(z)
+        prior = jax.random.normal(key, z.shape)
+
+        def loss(p):
+            _, _, d_loss = aae_losses(
+                x, x, disc.apply(p, z), disc.apply(p, prior)
+            )
+            return d_loss
+
+        val, grads = jax.value_and_grad(loss)(d_params)
+        updates, d_opt = opt_d.update(grads, d_opt, d_params)
+        return optax.apply_updates(d_params, updates), d_opt, val
+
+    key, k1, k2 = jax.random.split(key, 3)
+    ae_params = ae.init(k1, jnp.zeros((1, feat)))
+    d_params = disc.init(k2, jnp.zeros((1, latent)))
+    ae_opt, d_opt = opt_ae.init(ae_params), opt_d.init(d_params)
+    t0 = time.time()
+    i = 0
+    for epoch in range(epochs):
+        for frames, _times in frame_time_batches(traj, batch_size, rng):
+            x = jnp.asarray(frames.reshape(len(frames), -1))
+            key, sub = jax.random.split(key)
+            ae_params, ae_opt, loss = ae_step(ae_params, ae_opt, d_params, x)
+            d_params, d_opt, _ = d_step(d_params, d_opt, ae_params, sub, x)
+            i += 1
+            if i % 10 == 0:
+                _log(logger, curves, keeper, ae_params, epoch, i, loss, t0)
+    # generation: decode prior samples (the adversarial training shaped the
+    # code distribution to match the prior, so this is the sampling mode)
+    key, sub = jax.random.split(key)
+    z = jax.random.normal(sub, (20, latent))
+    decoded = ae.apply(ae_params, z, method=MLPAutoencoder.decode)
+    coords = unwhiten(
+        np.asarray(decoded).reshape(20, n, 3), w_mean, w_std
+    )
+    _export_xyz(os.path.join(out_dir, "AAE_generated.xyz"), coords, names)
+    _eval_generated(out_dir, "aae", coords, raw_traj)
+    return ae_params
+
+
 _FAMILIES = {
     "pretrain": _run_pretrain,
     "cgan": _run_cgan,
@@ -931,6 +1172,9 @@ _FAMILIES = {
     "lstm": _run_lstm,
     "lstm-nll": lambda **kw: _run_lstm(nll=True, **kw),
     "seq2seq": _run_seq2seq,
+    "seq2seq-gan": _run_seq2seq_gan,
+    "lstm-gat": _run_lstm_gat,
+    "aae": _run_aae,
     "flow": _run_flow,
     "vae": _run_vae,
     "transformer": _run_transformer,

@@ -116,3 +116,82 @@ def autoregressive_rollout(model, params, window, n_steps: int):
 
     _, frames = jax.lax.scan(body, window, None, length=n_steps)
     return frames
+
+
+def nll_sampling_rollout(model, params, window, key, n_steps: int):
+    """Autoregressive generation from a Gaussian-NLL head: each step samples
+    x ~ N(mu, sigma) from the predicted density and feeds it back — the
+    predict-and-emit capability of the reference's NLL lines
+    (Molecule_Dynamics_v1/Alpha/NLL_Train.py:40-356 + predsToPDB.py;
+    LSTM_NLL_V1/LSTMNLL_Train.py:89-172). Returns (n_steps, features)."""
+
+    def body(carry, _):
+        w, key = carry
+        key, sub = jax.random.split(key)
+        mu, sigma = model.apply(params, w[None])
+        pred = mu[0] + sigma[0] * jax.random.normal(
+            sub, mu[0].shape, mu.dtype
+        )
+        w = jnp.concatenate([w[1:], pred[None]], axis=0)
+        return (w, key), pred
+
+    _, frames = jax.lax.scan(body, (window, key), None, length=n_steps)
+    return frames
+
+
+def make_seq2seq_gan_trainer(
+    gen,
+    disc,
+    decode_len: int,
+    lr_g: float = 1e-4,
+    lr_d: float = 1e-4,
+    adv_weight: float = 0.1,
+    clip_norm: float = 1.0,
+):
+    """Adversarial Seq2Seq: the noise-fed decoder's rollouts are scored by
+    an LSTM sequence critic (Seq2Seq_Position_GAN_V1/lstm.py:99-237).
+
+    Generator loss = sequence L2 + ``adv_weight`` x non-saturating BCE
+    against the critic; the critic separates real future windows from
+    decoded ones. Returns (opt_g, opt_d, g_step, d_step).
+    """
+    opt_g = optax.chain(optax.clip_by_global_norm(clip_norm), optax.adam(lr_g))
+    opt_d = optax.chain(optax.clip_by_global_norm(clip_norm), optax.adam(lr_d))
+
+    @jax.jit
+    def g_step(g_params, g_opt, d_params, key, window, target_seq):
+        def loss(gp):
+            pred = gen.apply(gp, window, key, decode_len)
+            l2 = jnp.mean((pred - target_seq) ** 2)
+            logits = disc.apply(d_params, pred)
+            adv = jnp.mean(
+                optax.sigmoid_binary_cross_entropy(
+                    logits, jnp.ones_like(logits)
+                )
+            )
+            return l2 + adv_weight * adv
+
+        val, grads = jax.value_and_grad(loss)(g_params)
+        updates, g_opt = opt_g.update(grads, g_opt, g_params)
+        return optax.apply_updates(g_params, updates), g_opt, val
+
+    @jax.jit
+    def d_step(d_params, d_opt, g_params, key, window, target_seq):
+        fake = jax.lax.stop_gradient(
+            gen.apply(g_params, window, key, decode_len)
+        )
+
+        def loss(dp):
+            lr_ = disc.apply(dp, target_seq)
+            lf = disc.apply(dp, fake)
+            return jnp.mean(
+                optax.sigmoid_binary_cross_entropy(lr_, jnp.ones_like(lr_))
+            ) + jnp.mean(
+                optax.sigmoid_binary_cross_entropy(lf, jnp.zeros_like(lf))
+            )
+
+        val, grads = jax.value_and_grad(loss)(d_params)
+        updates, d_opt = opt_d.update(grads, d_opt, d_params)
+        return optax.apply_updates(d_params, updates), d_opt, val
+
+    return opt_g, opt_d, g_step, d_step

@@ -54,6 +54,13 @@ def main():
     ap.add_argument("--max-dump", type=int, default=4,
                     help="replicas to write npy/dcd for (stats use all)")
     ap.add_argument(
+        "--obs-every", type=int, default=1,
+        help="log observables every Nth saved frame (frames still saved "
+        "every --save-every steps): the per-term energy log costs a full "
+        "composed force-field pass per save, which dominates low-replica "
+        "fused campaigns",
+    )
+    ap.add_argument(
         "--chunk-steps", type=int, default=100_000,
         help="steps per device call: one monolithic 500k-step execution "
         "can exceed remote-backend execution limits; chunking keeps each "
@@ -101,20 +108,22 @@ def main():
         constrain_h_bonds=args.gbis,
     )
     t0 = time.time()
-    # chunks must be save_every multiples: simulate_ensemble only runs
-    # n_steps // save_every * save_every steps, so a ragged chunk would
-    # silently shorten the campaign
-    chunk = max(args.save_every, min(args.chunk_steps, args.steps))
-    chunk -= chunk % args.save_every
-    total = args.steps - args.steps % args.save_every
+    # chunks must be save_every (x obs_every) multiples: simulate_ensemble
+    # only runs n_steps // save_every * save_every steps, so a ragged chunk
+    # would silently shorten the campaign
+    quantum = args.save_every * max(1, args.obs_every)
+    chunk = max(quantum, min(args.chunk_steps, args.steps))
+    chunk -= chunk % quantum
+    total = args.steps - args.steps % quantum
     frames_parts, log_parts = [], []
     states = ens
     done = 0
     while done < total:
         n_chunk = min(chunk, total - done)
-        n_chunk -= n_chunk % args.save_every
+        n_chunk -= n_chunk % quantum
         states, fr, lg = simulate_ensemble(
-            states, ff, n_chunk, args.save_every, cfg, bias
+            states, ff, n_chunk, args.save_every, cfg, bias,
+            obs_every=args.obs_every,
         )
         frames_parts.append(np.asarray(fr))
         log_parts.append({k: np.asarray(v) for k, v in lg.items()})

@@ -170,9 +170,8 @@ class TestFusedGBCampaign:
             ion_concentration=GBIS_CONFIG.ion_concentration,
             sasa=True,
             surface_tension=GBIS_CONFIG.surface_tension,
-            # the builder caps block_r at 8 when sasa is on (Mosaic
-            # scheduler pathology beyond one dense chunk) — 16 here
-            # exercises that cap
+            # 16 exercises the 8-row sub-chunk fori_loop of the dense
+            # SASA pass (two chunks through the VMEM scratch refs)
             block_r=16, interpret=True,
         )
         vel = maxwell_boltzmann(jax.random.PRNGKey(0), ff.masses, 300.0)

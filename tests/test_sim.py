@@ -74,6 +74,34 @@ class TestSimulate:
         # replicas decorrelated
         assert float(jnp.std(frames[-1], axis=0).mean()) > 1e-4
 
+    def test_obs_stride(self, ready_state):
+        """obs_every thins the log but not the frames, and leaves the
+        trajectory itself bit-identical."""
+        ff, state = ready_state
+        ens = replicate(state, 4, seed=7)
+        cfg = SimulationConfig(dt_fs=1.0)
+        _, frames_1, log_1 = simulate_ensemble(
+            ens, ff, n_steps=400, save_every=100, config=cfg
+        )
+        _, frames_2, log_2 = simulate_ensemble(
+            ens, ff, n_steps=400, save_every=100, config=cfg, obs_every=2
+        )
+        assert frames_2.shape == (4, 4, 40, 3)
+        assert log_2["T"].shape == (2, 4)
+        np.testing.assert_array_equal(
+            np.asarray(frames_1), np.asarray(frames_2)
+        )
+        # logged blocks line up with every 2nd save of the unstrided run
+        np.testing.assert_allclose(
+            np.asarray(log_1["T"])[1::2], np.asarray(log_2["T"]),
+            rtol=1e-6,
+        )
+        with pytest.raises(ValueError, match="divisible"):
+            simulate_ensemble(
+                ens, ff, n_steps=300, save_every=100, config=cfg,
+                obs_every=2,
+            )
+
 
 class TestFusedStepParity:
     def test_fused_matches_xla_step(self, ready_state):

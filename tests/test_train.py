@@ -225,7 +225,10 @@ class TestUpdateSteps:
             ).astype(np.float32)
             np.save(data_dir / f"traj-{r}.npy", frames.astype(np.float32))
 
-        for family in ("sde", "node", "lstm", "cgan"):
+        for family in (
+            "sde", "node", "lstm", "cgan",
+            "lstm-nll", "seq2seq-gan", "lstm-gat", "aae",
+        ):
             rc = run_training(
                 family=family,
                 data=str(data_dir / "*.npy"),
