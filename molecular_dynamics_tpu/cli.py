@@ -151,9 +151,18 @@ def cmd_simulate(args) -> int:
     state = initialize_forces(state, seed_force)
     ens = replicate(state, cfg.n_replicas, seed=cfg.seed)
 
+    devices = getattr(args, "devices", 0) or cfg.devices
+    mesh = None
+    if devices and devices > 1:
+        from molecular_dynamics_tpu.parallel import get_mesh, shard_ensemble
+
+        mesh = get_mesh(devices)
+        ens = shard_ensemble(ens, mesh)
+
     t0 = time.time()
     final, frames, log = simulate_ensemble(
-        ens, ff, cfg.n_steps, cfg.save_every, cfg.sim, bias
+        ens, ff, cfg.n_steps, cfg.save_every, cfg.sim, bias,
+        mesh=mesh, obs_every=cfg.obs_every,
     )
     elapsed = time.time() - t0
     frames = np.asarray(frames)  # (saves, R, N, 3)
@@ -221,6 +230,7 @@ def cmd_train(args) -> int:
         batch_size=args.batch_size,
         out_dir=args.out_dir,
         seed=args.seed,
+        devices=getattr(args, "devices", 0),
     )
 
 
@@ -301,6 +311,11 @@ def main(argv=None) -> int:
         "-o", "--override", action="append",
         help="dotted config override, e.g. n_replicas=8",
     )
+    p_sim.add_argument(
+        "--devices", type=int, default=0,
+        help="shard the replica axis over an N-device mesh (the one-flag "
+        "replacement for the reference's SLURM replica fan-out)",
+    )
     p_sim.set_defaults(fn=cmd_simulate)
 
     p_en = sub.add_parser("energy", help="print per-term energies of frames")
@@ -322,6 +337,11 @@ def main(argv=None) -> int:
     p_tr.add_argument("--batch-size", type=int, default=32)
     p_tr.add_argument("--out-dir", default="runs")
     p_tr.add_argument("--seed", type=int, default=0)
+    p_tr.add_argument(
+        "--devices", type=int, default=0,
+        help="data-parallel training over an N-device mesh (replicated "
+        "params, sharded batches)",
+    )
     p_tr.set_defaults(fn=cmd_train)
 
     p_cv = sub.add_parser("convert", help="trajectory -> npy conversion")

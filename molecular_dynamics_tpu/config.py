@@ -44,6 +44,11 @@ class CampaignConfig:
     minimize_steps: int = 500
     seed: int = 0
     out_dir: str = "out"
+    #: shard the replica axis over an N-device mesh (0/1 = single device) —
+    #: the one-flag replacement for the reference's SLURM replica fan-out
+    devices: int = 0
+    #: log the (expensive) per-term energy observables every Nth saved frame
+    obs_every: int = 1
     sim: SimulationConfig = dataclasses.field(default_factory=SimulationConfig)
     colvar: Optional[ColvarConfig] = dataclasses.field(
         default_factory=ColvarConfig

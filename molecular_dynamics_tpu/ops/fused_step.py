@@ -529,8 +529,17 @@ def make_fused_campaign_op(
             (
                 ssx_ref, ssy_ref, ssz_ref, sfx_ref, sfy_ref, sfz_ref,
             ) = rest[9:15]
-        if temperature > 0.0:
+        # interpret mode (CPU test env) has no lowering for the on-core TPU
+        # PRNG primitives — draw thermostat noise from the stateless
+        # counter-based host PRNG instead (same N(0,1) distribution; the
+        # noisy path is distribution-tested, not bit-pinned)
+        host_rng = interpret and temperature > 0.0
+        if temperature > 0.0 and not host_rng:
             pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+        if host_rng:
+            base_key = jax.random.PRNGKey(
+                seed_ref[0, 0] + pl.program_id(0)
+            )
         pair_tabs = tuple(
             r[:] for r in (qq_ref, a_ref, b_ref, m_ref, kb_ref, d0_ref,
                            a14_ref, b14_ref, qq14_ref)
@@ -997,6 +1006,15 @@ def make_fused_campaign_op(
                 2.0 * jnp.pi * u2
             )
 
+        def noise3(i, shape):
+            if host_rng:
+                k = jax.random.fold_in(base_key, i)
+                g = jax.random.normal(k, (3,) + shape, jnp.float32)
+                return g[0], g[1], g[2]
+            g1, g2 = gaussians(shape)
+            g3, _ = gaussians(shape)
+            return g1, g2, g3
+
         def body(i, carry):
             x, y, z, vx, vy, vz, fx, fy, fz = carry
             t_step = t0 + i.astype(jnp.float32)
@@ -1016,11 +1034,9 @@ def make_fused_campaign_op(
                 xn, yn, zn = shake(xn, yn, zn, rx, ry, rz)
             x, y, z = xn, yn, zn
             # O: exact OU solve with on-core noise (statically skipped at
-            # T=0 — also keeps CPU interpret mode usable, where the TPU PRNG
-            # primitives have no lowering)
+            # T=0; interpret mode draws from the host PRNG via noise3)
             if temperature > 0.0:
-                g1, g2 = gaussians(x.shape)
-                g3, _ = gaussians(x.shape)
+                g1, g2, g3 = noise3(i, x.shape)
                 vx = c1 * vx + c2v * g1
                 vy = c1 * vy + c2v * g2
                 vz = c1 * vz + c2v * g3

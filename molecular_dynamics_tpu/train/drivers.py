@@ -98,6 +98,7 @@ def run_training(
     batch_size: int = 32,
     out_dir: str = "runs",
     seed: int = 0,
+    devices: int = 0,
 ) -> int:
     import jax
     import jax.numpy as jnp
@@ -127,6 +128,20 @@ def run_training(
     curves = {"loss": []}
     t_start = time.time()
 
+    mesh = None
+    if devices and devices > 1:
+        # data-parallel training: replicated params, sharded batches —
+        # XLA SPMD inserts the gradient psum (the TPU-native replacement
+        # for the reference's independent SLURM training jobs)
+        from molecular_dynamics_tpu.parallel import get_mesh
+
+        if batch_size % devices:
+            raise ValueError(
+                f"batch_size {batch_size} must be divisible by the "
+                f"device count {devices}"
+            )
+        mesh = get_mesh(devices)
+
     runner = _FAMILIES[family]
     final = runner(
         ff=ff,
@@ -141,6 +156,7 @@ def run_training(
         out_dir=out_dir,
         names=names,
         top=top,
+        mesh=mesh,
     )
     plot_losses(os.path.join(out_dir, "loss.png"), curves, title=family)
     logger.close()
@@ -219,11 +235,33 @@ def _whitened(traj):
     return white, mean, std
 
 
+def _dp_prepare(mesh, params, *opt_states):
+    """Replicate params (and optimizer states) over a DP mesh (no-op when
+    mesh is None). Returns (params, *opt_states)."""
+    if mesh is None:
+        return (params,) + opt_states
+    from molecular_dynamics_tpu.parallel import replicate_params
+
+    out = [replicate_params(params, mesh)]
+    out += [replicate_params(o, mesh) for o in opt_states]
+    return tuple(out)
+
+
+def _dp_batch(mesh, *arrays):
+    """Shard the leading batch axis of each array over the DP mesh."""
+    if mesh is None:
+        return arrays
+    from molecular_dynamics_tpu.parallel import shard_batch
+
+    return tuple(shard_batch(a, mesh) for a in arrays)
+
+
 # --- family runners ---------------------------------------------------------
 
 
 def _pretrain_generator(gen, ff, traj, epochs, batch_size, rng, key,
-                        logger, keeper, curves, params=None, t0=None, i0=0):
+                        logger, keeper, curves, params=None, t0=None, i0=0,
+                        mesh=None):
     """Shared decoder-pretrain loop (Pretrain_Backbone_RMSD recipe).
 
     lr 1e-3: at the reference's 1e-4 + clip 1.0 the decoder needs ~10k
@@ -241,15 +279,18 @@ def _pretrain_generator(gen, ff, traj, epochs, batch_size, rng, key,
     if params is None:
         params = gen.init(key, jnp.zeros((1, 31)), jnp.zeros((1,)))
     opt_state = opt.init(params)
+    params, opt_state = _dp_prepare(mesh, params, opt_state)
     t0 = time.time() if t0 is None else t0
     i = i0
     for epoch in range(epochs):
         alpha = 0.01 * min(1.0, epoch / max(epochs - 1, 1))
         for frames, times in frame_time_batches(traj, batch_size, rng):
             key, sub = jax.random.split(key)
+            fr_b, t_b = _dp_batch(
+                mesh, jnp.asarray(frames), jnp.asarray(times)
+            )
             params, opt_state, loss, _ = step(
-                params, opt_state, sub, jnp.asarray(frames),
-                jnp.asarray(times), alpha,
+                params, opt_state, sub, fr_b, t_b, alpha,
             )
             i += 1
             if i % 10 == 0:
@@ -258,7 +299,7 @@ def _pretrain_generator(gen, ff, traj, epochs, batch_size, rng, key,
 
 
 def _run_pretrain(ff, traj, epochs, batch_size, rng, key, logger, keeper,
-                  curves, out_dir, names, top):
+                  curves, out_dir, names, top, mesh=None):
     import jax
     import jax.numpy as jnp
 
@@ -266,7 +307,8 @@ def _run_pretrain(ff, traj, epochs, batch_size, rng, key, logger, keeper,
 
     gen = Generator(n_atoms=ff.n_atoms)
     params, key, _ = _pretrain_generator(
-        gen, ff, traj, epochs, batch_size, rng, key, logger, keeper, curves
+        gen, ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
+        mesh=mesh,
     )
     # generation sweep -> xyz
     t = jnp.linspace(0, 1, 20)
@@ -278,7 +320,7 @@ def _run_pretrain(ff, traj, epochs, batch_size, rng, key, logger, keeper,
 
 
 def _run_cgan(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
-              out_dir, names, top):
+              out_dir, names, top, mesh=None):
     import jax
     import jax.numpy as jnp
 
@@ -324,20 +366,24 @@ def _run_cgan(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     # random decoder collapses: the informed phase sees astronomic LJ)
     g_params, key, i = _pretrain_generator(
         gen, ff, traj, max(epochs, 4), batch_size, rng, key,
-        logger, keeper, curves, params=g_params, t0=t0,
+        logger, keeper, curves, params=g_params, t0=t0, mesh=mesh,
     )
     # phase 2 — the three-phase adversarial + informed loop, with the
     # final artifact taken from the physics-best (lowest informed loss)
     # generator checkpoint rather than the last iterate
     g_opt, d_opt, i_opt = og.init(g_params), od.init(d_params), oi.init(g_params)
+    g_params, g_opt, i_opt = _dp_prepare(mesh, g_params, g_opt, i_opt)
+    d_params, d_opt = _dp_prepare(mesh, d_params, d_opt)
     best_i, best_params = float("inf"), g_params
     for epoch in range(epochs):
         for frames, times in frame_time_batches(traj, batch_size, rng):
             key, k1, k2, k3 = jax.random.split(key, 4)
-            t_b = jnp.asarray(times)
+            fr_b, t_b = _dp_batch(
+                mesh, jnp.asarray(frames), jnp.asarray(times)
+            )
             g_params, g_opt, g_loss = g_step(g_params, g_opt, d_params, k1, t_b)
             d_params, d_opt, d_loss = d_step(
-                d_params, d_opt, g_params, k2, jnp.asarray(frames), t_b
+                d_params, d_opt, g_params, k2, fr_b, t_b
             )
             g_params, i_opt, i_loss = informed_step(g_params, i_opt, k3, t_b)
             i += 1
@@ -358,7 +404,7 @@ def _run_cgan(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
 
 
 def _run_hnn(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
-             out_dir, names, top):
+             out_dir, names, top, mesh=None):
     import jax
     import jax.numpy as jnp
 
@@ -399,7 +445,7 @@ def _run_hnn(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
 
 
 def _run_lstm(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
-              out_dir, names, top, nll=False):
+              out_dir, names, top, nll=False, mesh=None):
     import jax
     import jax.numpy as jnp
 
@@ -437,15 +483,17 @@ def _run_lstm(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
         )
     params = model.init(key, jnp.zeros((1, history, feat)))
     opt_state = opt.init(params)
+    params, opt_state = _dp_prepare(mesh, params, opt_state)
     t0 = time.time()
     i = 0
     for epoch in range(epochs):
         for window, target in window_batches(
             traj, history, lead, batch_size, rng
         ):
-            params, opt_state, loss = step(
-                params, opt_state, jnp.asarray(window), jnp.asarray(target)
+            w_b, tg_b = _dp_batch(
+                mesh, jnp.asarray(window), jnp.asarray(target)
             )
+            params, opt_state, loss = step(params, opt_state, w_b, tg_b)
             i += 1
             if i % 10 == 0:
                 _log(logger, curves, keeper, params, epoch, i, loss, t0)
@@ -479,7 +527,7 @@ def _run_lstm(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
 
 
 def _run_seq2seq(ff, traj, epochs, batch_size, rng, key, logger, keeper,
-                 curves, out_dir, names, top):
+                 curves, out_dir, names, top, mesh=None):
     import jax
     import jax.numpy as jnp
 
@@ -532,7 +580,7 @@ def _run_seq2seq(ff, traj, epochs, batch_size, rng, key, logger, keeper,
 
 
 def _run_flow(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
-              out_dir, names, top):
+              out_dir, names, top, mesh=None):
     import jax
     import jax.numpy as jnp
 
@@ -572,7 +620,7 @@ def _run_flow(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
 
 
 def _run_vae(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
-             out_dir, names, top):
+             out_dir, names, top, mesh=None):
     import jax
     import jax.numpy as jnp
 
@@ -620,7 +668,7 @@ def _run_vae(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
 
 
 def _run_transformer(ff, traj, epochs, batch_size, rng, key, logger, keeper,
-                     curves, out_dir, names, top):
+                     curves, out_dir, names, top, mesh=None):
     import jax.numpy as jnp
 
     from molecular_dynamics_tpu.models.transformer import TrajectoryTransformer
@@ -672,7 +720,7 @@ def _run_transformer(ff, traj, epochs, batch_size, rng, key, logger, keeper,
 
 
 def _run_gat(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
-             out_dir, names, top):
+             out_dir, names, top, mesh=None):
     import jax
     import jax.numpy as jnp
     import optax
@@ -789,7 +837,7 @@ def _run_gat(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
 
 
 def _run_sde(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
-             out_dir, names, top):
+             out_dir, names, top, mesh=None):
     """Neural SDE-GAN end to end: Wasserstein training on path windows with
     weight clipping + SWA + potential injection (torchsde_v2/sde.py:399-478),
     then marginal-distribution evaluation (sde.py:207-254)."""
@@ -880,7 +928,7 @@ def _run_sde(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
 
 
 def _run_node(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
-              out_dir, names, top):
+              out_dir, names, top, mesh=None):
     """Neural-ODE on phase-space data: an HNN vector field trained through
     the solver (the torchdyn variant, Molecule_Dynamics_Torchdyn/hnn_v0/
     hnn.py:13-95 — NeuralODE(sensitivity='adjoint') around an HNN)."""
@@ -939,7 +987,7 @@ def _run_node(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
 
 
 def _run_seq2seq_gan(ff, traj, epochs, batch_size, rng, key, logger, keeper,
-                     curves, out_dir, names, top):
+                     curves, out_dir, names, top, mesh=None):
     """Adversarial Seq2Seq: noise-fed decoder rollouts scored by an LSTM
     sequence critic (Seq2Seq_Position_GAN_V1/lstm.py:99-237)."""
     import jax
@@ -1002,7 +1050,7 @@ def _run_seq2seq_gan(ff, traj, epochs, batch_size, rng, key, logger, keeper,
 
 
 def _run_lstm_gat(ff, traj, epochs, batch_size, rng, key, logger, keeper,
-                  curves, out_dir, names, top):
+                  curves, out_dir, names, top, mesh=None):
     """LSTM temporal encoder + GAT spatial decoder predicting the next frame
     from a per-atom history window (LSTM_GAT_V2/lstm.py:64-125)."""
     import jax
@@ -1084,7 +1132,7 @@ def _run_lstm_gat(ff, traj, epochs, batch_size, rng, key, logger, keeper,
 
 
 def _run_aae(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
-             out_dir, names, top):
+             out_dir, names, top, mesh=None):
     """Adversarial autoencoder: reconstruction + latent critic shaping the
     code distribution to the Gaussian prior
     (Molecule_Dynamics_v1/Adversarial_Autoencoder/autoencoder.py)."""

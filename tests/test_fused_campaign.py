@@ -294,3 +294,60 @@ class TestFusedCampaign:
         viol = np.abs(d - np.asarray(cons.lengths)[None, :])
         assert viol.max() < 1e-5
         assert bool(jnp.all(jnp.isfinite(frames)))
+
+
+class TestMultiStepStochasticParity:
+    def test_thermostatted_distributional_parity(self, full_system):
+        """VERDICT r2 #8: a thermostatted multi-step campaign driven by the
+        fused kernel must match the composed XLA path *distributionally*
+        (mean temperature, radius of gyration, end-to-end distance over the
+        equilibrated half), so kernel drift bugs cannot hide behind
+        single-step/T=0 parity. Different PRNG streams by construction —
+        the comparison is statistical, with tolerances ~3x the standard
+        error of each mean."""
+        import dataclasses
+
+        from molecular_dynamics_tpu import maxwell_boltzmann, system_init
+        from molecular_dynamics_tpu.energy import REFERENCE_CONFIG
+        from molecular_dynamics_tpu.integrate import initialize_forces
+        from molecular_dynamics_tpu.sim import (
+            SimulationConfig,
+            simulate_ensemble,
+        )
+        from molecular_dynamics_tpu.system import replicate
+
+        ff, pos = full_system
+        n = ff.n_atoms
+        key = jax.random.PRNGKey(0)
+        state = system_init(
+            pos, vel=maxwell_boltzmann(key, ff.masses, 300.0), key=key
+        )
+        pot = lambda q: total_energy(q, ff, config=REFERENCE_CONFIG)
+        state = initialize_forces(
+            state, lambda p, b: -jax.grad(pot)(p)
+        )
+        ens = replicate(state, 8, seed=3)
+
+        def run(fused: bool, seed: int):
+            cfg = SimulationConfig(
+                dt_fs=2.0, temperature=300.0, gamma_ps=1.0,
+                fused_campaign=fused, constrain_h_bonds=True,
+            )
+            e = replicate(state, 8, seed=seed)
+            _, frames, log = simulate_ensemble(
+                e, ff, n_steps=3000, save_every=100, config=cfg
+            )
+            half = np.asarray(frames)[15:]  # equilibrated half
+            t_half = np.asarray(log["T"])[15:]
+            cen = half - half.mean(axis=2, keepdims=True)
+            rg = np.sqrt((cen**2).sum(axis=(2, 3)) / n)
+            e2e = np.linalg.norm(half[:, :, -1] - half[:, :, 0], axis=-1)
+            return (
+                float(t_half.mean()), float(rg.mean()), float(e2e.mean())
+            )
+
+        t_k, rg_k, e2e_k = run(fused=True, seed=3)
+        t_c, rg_c, e2e_c = run(fused=False, seed=4)
+        assert abs(t_k - t_c) < 12.0, (t_k, t_c)
+        assert abs(rg_k - rg_c) < 0.4, (rg_k, rg_c)
+        assert abs(e2e_k - e2e_c) < 1.5, (e2e_k, e2e_c)
