@@ -38,16 +38,56 @@ def e2e_statistics(
     }
 
 
+def e2e_time_buckets(
+    trajectories, i: int = 0, j: int = -1, n_buckets: int = 10
+) -> Dict[str, np.ndarray]:
+    """Time-resolved e2e statistics over a trajectory *ensemble*.
+
+    Each trajectory is bucketed along its own normalized time and bucket
+    statistics pool across trajectories — the reference's mean-e2e-per-
+    frame-number dict (GAN_V17.12/gan.py:35-56 keys by frame number over
+    replicas). Bucketing a concatenation instead (``e2e_statistics`` on
+    stacked data) flattens the reaction-coordinate profile to its overall
+    mean whenever more than one trajectory is stacked.
+    """
+    per_bucket = [[] for _ in range(n_buckets)]
+    for t_arr in trajectories:
+        d = np.asarray(end_to_end_distance(jnp.asarray(t_arr), i, j))
+        for k, b in enumerate(np.array_split(d, n_buckets)):
+            per_bucket[k].append(b)
+    pooled = [np.concatenate(b) for b in per_bucket]
+    return {
+        "mean": np.array([b.mean() for b in pooled]),
+        "std": np.array([b.std() for b in pooled]),
+    }
+
+
 def compare_e2e(
     generated: np.ndarray,
     data: np.ndarray,
     i: int = 0,
     j: int = -1,
     n_buckets: int = 10,
+    data_trajectories=None,
+    generated_trajectories=None,
 ) -> Dict[str, float]:
-    """Per-bucket e2e discrepancy between generated and data ensembles."""
-    g = e2e_statistics(generated, i, j, n_buckets)
-    d = e2e_statistics(data, i, j, n_buckets)
+    """Per-bucket e2e discrepancy between generated and data ensembles.
+
+    ``generated`` is ordered along its reaction coordinate / rollout time.
+    Pass ``data_trajectories`` (a list of (F, N, 3) arrays) to bucket the
+    data reference per-trajectory by normalized time (the reference's
+    evaluator semantics); otherwise ``data`` is bucketed along its frame
+    order. ``generated_trajectories`` does the same for an ensemble of
+    generated rollouts.
+    """
+    if generated_trajectories is not None:
+        g = e2e_time_buckets(generated_trajectories, i, j, n_buckets)
+    else:
+        g = e2e_statistics(generated, i, j, n_buckets)
+    if data_trajectories is not None:
+        d = e2e_time_buckets(data_trajectories, i, j, n_buckets)
+    else:
+        d = e2e_statistics(data, i, j, n_buckets)
     return {
         "mean_abs_error": float(np.mean(np.abs(g["mean"] - d["mean"]))),
         "max_abs_error": float(np.max(np.abs(g["mean"] - d["mean"]))),
@@ -56,7 +96,7 @@ def compare_e2e(
 
 
 def marginal_histograms(
-    generated: np.ndarray, data: np.ndarray, n_bins: int = 32
+    generated: np.ndarray, data: np.ndarray, n_bins: int = 16
 ) -> Dict[str, float]:
     """Per-feature marginal distribution discrepancy between two path sets.
 
@@ -64,6 +104,11 @@ def marginal_histograms(
     marginals (TorchSDE/torchsde_v2/sde.py:207-254). Accepts paths
     ``(B, T, D)`` or samples ``(B, D)``; returns the mean/max total-variation
     distance over the D feature marginals (0 = identical, 1 = disjoint).
+
+    Finite-sample TV has a noise floor ~ O(sqrt(n_bins / n_samples)) even
+    for identical distributions — compare against a data-vs-data split
+    (``marginal_tv_floor`` in the sde driver's eval) and keep the
+    generated sample count high.
     """
     g = np.asarray(generated).reshape(-1, np.shape(generated)[-1])
     d = np.asarray(data).reshape(-1, np.shape(data)[-1])

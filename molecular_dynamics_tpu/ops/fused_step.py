@@ -524,11 +524,17 @@ def make_fused_campaign_op(
             ox_ref, oy_ref, oz_ref, ovx_ref, ovy_ref, ovz_ref,
             ofx_ref, ofy_ref, ofz_ref,
         ) = rest[:9]
+        scratch = rest[9:]
+        if use_gb:
+            # per-shift HCT-derivative cache filled by the Born pass and
+            # consumed by the (now multiply-accumulate-only) chain pass
+            gdf_ref, gdr_ref = scratch[:2]
+            scratch = scratch[2:]
         if use_sasa:
             # VMEM scratch for the 8-row sub-chunk loop of the dense pass
             (
                 ssx_ref, ssy_ref, ssz_ref, sfx_ref, sfy_ref, sfz_ref,
-            ) = rest[9:15]
+            ) = scratch[:6]
         # interpret mode (CPU test env) has no lowering for the on-core TPU
         # PRNG primitives — draw thermostat noise from the stateless
         # counter-based host PRNG instead (same N(0,1) distribution; the
@@ -637,7 +643,14 @@ def make_fused_campaign_op(
                 return ref[pl.ds(n_shifts - 1 - i, 1), :]
 
             def born_pass(x, y, z):
-                # HCT descreening sums -> psi -> OBC II Born radii + dR/dpsi
+                # HCT descreening sums -> psi -> OBC II Born radii + dR/dpsi.
+                # The exact dI/dd of both integral directions is computed
+                # here too (it depends only on geometry + static tables, not
+                # on the Born radii) and cached per shift as mrow*dI*rinv —
+                # the chain pass then reduces to a multiply-accumulate
+                # sweep instead of re-deriving the HCT math.
+                br = x.shape[0]
+
                 def body(i, carry):
                     xs, ys, zs, sum_i, rev = carry
                     mrow = _grow(ggm_ref, i)
@@ -652,12 +665,16 @@ def make_fused_campaign_op(
                     d2s = jnp.where(live, d2, 1.0)
                     dinv = jax.lax.rsqrt(d2s)
                     d = d2s * dinv
-                    i_f, _ = _hct_pair(
-                        d, dinv, grho, grhoi, s_j, live, False
+                    i_f, di_f = _hct_pair(
+                        d, dinv, grho, grhoi, s_j, live, True
                     )
-                    i_r, _ = _hct_pair(
-                        d, dinv, rho_j, rhoi_j, gsrow, live, False
+                    i_r, di_r = _hct_pair(
+                        d, dinv, rho_j, rhoi_j, gsrow, live, True
                     )
+                    row = pl.ds(pl.multiple_of(i * br, br), br)
+                    mr = mrow * dinv
+                    gdf_ref[row, :] = mr * di_f
+                    gdr_ref[row, :] = mr * di_r
                     sum_i = sum_i + mrow * i_f
                     rev = pltpu.roll(rev, one, 1) + mrow * i_r
                     return (
@@ -699,28 +716,20 @@ def make_fused_campaign_op(
                 return (inv_eps_s - 1.0) * finv * finv
 
             def gb_chain_pass(x, y, z, ce):
-                # dE/dR * dR/dpsi * dpsi/dd distributed over pairs
+                # dE/dR * dR/dpsi * dpsi/dd distributed over pairs: pure
+                # multiply-accumulate against the born pass's cached
+                # mrow*dI*rinv rows (the expensive HCT math ran once)
+                br = x.shape[0]
+
                 def body(i, carry):
                     xs, ys, zs, ces, fx, fy, fz, ax, ay, az = carry
-                    mrow = _grow(ggm_ref, i)
-                    s_j = _grow(gsp_ref, i)
-                    rho_j = _grow(grp_ref, i)
-                    rhoi_j = _grow(grpi_ref, i)
+                    row = pl.ds(pl.multiple_of(i * br, br), br)
+                    u_f = gdf_ref[row, :]
+                    u_r = gdr_ref[row, :]
                     dx = x - xs
                     dy = y - ys
                     dz = z - zs
-                    d2 = dx * dx + dy * dy + dz * dz
-                    live = mrow > 0.0
-                    d2s = jnp.where(live, d2, 1.0)
-                    rinv = jax.lax.rsqrt(d2s)
-                    d = d2s * rinv
-                    _, di_f = _hct_pair(
-                        d, rinv, grho, grhoi, s_j, live, True
-                    )
-                    _, di_r = _hct_pair(
-                        d, rinv, rho_j, rhoi_j, gsrow, live, True
-                    )
-                    coeff = mrow * (ce * di_f + ces * di_r) * rinv
+                    coeff = ce * u_f + ces * u_r
                     cx = coeff * dx
                     cy = coeff * dy
                     cz = coeff * dz
@@ -1139,11 +1148,17 @@ def make_fused_campaign_op(
             ]
 
         out_shape = [jax.ShapeDtypeStruct((r, n_pad), jnp.float32)] * 9
-        scratch_shapes = (
-            [pltpu.VMEM((block_r, n_pad), jnp.float32)] * 6
-            if use_sasa
-            else []
-        )
+        scratch_shapes = []
+        if use_gb:
+            # per-shift HCT-derivative cache (mrow*dI*rinv, both integral
+            # directions): ~2 x n_shifts x block_r x n_pad x 4B
+            scratch_shapes += [
+                pltpu.VMEM((n_shifts * block_r, n_pad), jnp.float32)
+            ] * 2
+        if use_sasa:
+            scratch_shapes += [
+                pltpu.VMEM((block_r, n_pad), jnp.float32)
+            ] * 6
         outs = pl.pallas_call(
             kernel,
             grid=(r // block_r,),
@@ -1152,12 +1167,14 @@ def make_fused_campaign_op(
             out_shape=out_shape,
             scratch_shapes=scratch_shapes,
             interpret=interpret,
-            # the SASA variant dense temporaries overflow the default
-            # 16M scoped-VMEM budget when the kernel sits inside a
-            # lax.scan; give it explicit headroom
+            # the GB derivative cache and the SASA dense temporaries
+            # overflow the default 16M scoped-VMEM budget; give them
+            # explicit headroom
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True,
-                vmem_limit_bytes=(40 * 1024 * 1024 if use_sasa else None),
+                vmem_limit_bytes=(
+                    48 * 1024 * 1024 if (use_sasa or use_gb) else None
+                ),
             ),
         )(
             jnp.asarray(t0, jnp.int32).reshape(1, 1),

@@ -185,7 +185,8 @@ def _export_xyz(path, coords_batch, names):
     write_xyz(path, np.asarray(coords_batch), symbols=[str(n) for n in names])
 
 
-def _eval_generated(out_dir, family, generated, traj, extra=None):
+def _eval_generated(out_dir, family, generated, traj, extra=None,
+                    generated_trajectories=None):
     """Score a generated ensemble against the training data and persist it.
 
     Every reference experiment ships a test.py evaluator comparing generated
@@ -200,7 +201,13 @@ def _eval_generated(out_dir, family, generated, traj, extra=None):
     data_frames, _ = traj.stacked()
     generated = np.asarray(generated)
     data_frames = np.asarray(data_frames)
-    metrics = compare_e2e(generated, data_frames)
+    # time-resolved data reference: bucket each trajectory along its own
+    # normalized time (the reference's per-frame-number means) so the
+    # generated sweep is scored against the actual pulling profile
+    metrics = compare_e2e(
+        generated, data_frames, data_trajectories=traj.trajectories,
+        generated_trajectories=generated_trajectories,
+    )
     # radius-of-gyration statistics (mass-free: the comparison is between
     # two ensembles of the same topology, so uniform weights suffice)
     for name, ens in (("gen", generated), ("data", data_frames)):
@@ -219,6 +226,17 @@ def _eval_generated(out_dir, family, generated, traj, extra=None):
         + ", ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items()))
     )
     return metrics
+
+
+def _eval_rollout_ensemble(out_dir, family, rollouts, traj, extra=None):
+    """Evaluate an ensemble of generated rollouts (one per data-trajectory
+    start): pooled per-normalized-time buckets, symmetric with the data
+    reference treatment."""
+    gen_list = [np.asarray(r) for r in rollouts]
+    return _eval_generated(
+        out_dir, family, np.concatenate(gen_list), traj, extra=extra,
+        generated_trajectories=gen_list,
+    )
 
 
 def _whitened(traj):
@@ -436,11 +454,25 @@ def _run_hnn(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
                 _log(logger, curves, keeper, params, epoch, i, loss, t0)
             if i >= 200 * (epoch + 1):
                 break  # bounded epoch on the ~2M-sample dataset
-    frames = rollout(model, params, jnp.asarray(x[0]), n_steps=200, dt=cfg.dt)
-    half = frames.shape[1] // 2
-    coords = np.asarray(frames[:, :half]).reshape(len(frames), -1, 3)
-    _export_xyz(os.path.join(out_dir, "HNN_generated.xyz"), coords, names)
-    _eval_generated(out_dir, "hnn", coords, traj)
+    # rollout covers the data's full normalized-time span: the learned
+    # field predicts the per-save-step difference, so dt=1 is the faithful
+    # discrete map (the reference's 0.005-dt/10k-step loop traverses the
+    # same span with added noise, HNN-Full.py:294-329); one rollout per
+    # data-trajectory start, pooled per-time-bucket in the eval
+    roll_len = int(np.mean([len(t) for t in traj.trajectories]))
+    n_traj = len(traj.trajectories)
+    per = max(1, len(x) // n_traj)
+    rolls = []
+    for r in range(min(n_traj, 8)):
+        frames = rollout(
+            model, params, jnp.asarray(x[r * per]), n_steps=roll_len, dt=1.0
+        )
+        half = frames.shape[1] // 2
+        rolls.append(
+            np.asarray(frames[:, :half]).reshape(len(frames), -1, 3)
+        )
+    _export_xyz(os.path.join(out_dir, "HNN_generated.xyz"), rolls[0], names)
+    _eval_rollout_ensemble(out_dir, "hnn", rolls, traj)
     return params
 
 
@@ -502,27 +534,37 @@ def _run_lstm(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     w0 = jnp.asarray(
         traj.trajectories[0][:history].reshape(history, feat)
     )
-    if nll:
-        # predict-and-emit from the Gaussian head: sampled autoregressive
-        # rollout (Alpha/NLL_Train.py:40-356 + predsToPDB.py capability)
-        from molecular_dynamics_tpu.train.seq import nll_sampling_rollout
+    # generated rollouts must traverse the full normalized-time span the
+    # evaluator buckets over (a short rollout pins the statistics at the
+    # pathway's start)
+    roll_len = int(np.mean([len(t) for t in traj.trajectories]))
+    from molecular_dynamics_tpu.train.seq import nll_sampling_rollout
 
-        key, sub = jax.random.split(key)
-        frames = nll_sampling_rollout(model, params, w0, sub, n_steps=100)
-        coords = unwhiten(
-            np.asarray(frames).reshape(-1, n, 3), w_mean, w_std
+    rolls = []
+    for t_arr in traj.trajectories[:8]:
+        w0_t = jnp.asarray(t_arr[:history].reshape(history, feat))
+        if nll:
+            # predict-and-emit from the Gaussian head: sampled rollout
+            # (Alpha/NLL_Train.py:40-356 + predsToPDB.py capability)
+            key, sub = jax.random.split(key)
+            frames = nll_sampling_rollout(
+                model, params, w0_t, sub, n_steps=roll_len
+            )
+        else:
+            frames = autoregressive_rollout(
+                model, params, w0_t, n_steps=roll_len
+            )
+        rolls.append(
+            unwhiten(np.asarray(frames).reshape(-1, n, 3), w_mean, w_std)
         )
-        _export_xyz(
-            os.path.join(out_dir, "LSTMNLL_generated.xyz"), coords, names
-        )
-        _eval_generated(out_dir, "lstm-nll", coords, raw_traj)
-    else:
-        frames = autoregressive_rollout(model, params, w0, n_steps=100)
-        coords = unwhiten(
-            np.asarray(frames).reshape(-1, n, 3), w_mean, w_std
-        )
-        _export_xyz(os.path.join(out_dir, "LSTM_generated.xyz"), coords, names)
-        _eval_generated(out_dir, "lstm", coords, raw_traj)
+    tag = "lstm-nll" if nll else "lstm"
+    _export_xyz(
+        os.path.join(
+            out_dir, ("LSTMNLL" if nll else "LSTM") + "_generated.xyz"
+        ),
+        rolls[0], names,
+    )
+    _eval_rollout_ensemble(out_dir, tag, rolls, raw_traj)
     return params
 
 
@@ -570,12 +612,19 @@ def _run_seq2seq(ff, traj, epochs, batch_size, rng, key, logger, keeper,
     # non-autoregressive test mode, Seq2Seq_V1/seq2seq.py:150-256)
     from molecular_dynamics_tpu.evaluate import unwhiten
 
-    w0 = jnp.asarray(traj.trajectories[0][:history].reshape(history, feat))
-    key, sub = jax.random.split(key)
-    gen = model.apply(params, w0[None], sub, 50)[0]
-    coords = unwhiten(np.asarray(gen).reshape(-1, n, 3), w_mean, w_std)
-    _export_xyz(os.path.join(out_dir, "Seq2Seq_generated.xyz"), coords, names)
-    _eval_generated(out_dir, "seq2seq", coords, raw_traj)
+    roll_len = int(np.mean([len(t) for t in traj.trajectories]))
+    rolls = []
+    for t_arr in traj.trajectories[:8]:
+        w0 = jnp.asarray(t_arr[:history].reshape(history, feat))
+        key, sub = jax.random.split(key)
+        gen = model.apply(params, w0[None], sub, roll_len)[0]
+        rolls.append(
+            unwhiten(np.asarray(gen).reshape(-1, n, 3), w_mean, w_std)
+        )
+    _export_xyz(
+        os.path.join(out_dir, "Seq2Seq_generated.xyz"), rolls[0], names
+    )
+    _eval_rollout_ensemble(out_dir, "seq2seq", rolls, raw_traj)
     return params
 
 
@@ -610,10 +659,13 @@ def _run_flow(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
             i += 1
             if i % 10 == 0:
                 _log(logger, curves, keeper, params, epoch, i, loss, t0)
-    samples = model.apply(
-        params, key, jnp.array([0.5]), 20, method=RealNVP.sample
-    )
-    coords = np.asarray(minmax_unscale(samples, lo, hi)).reshape(20, n, 3)
+    # conditional sweep along the reaction coordinate (the reference's
+    # conditional sampling loop over frame indices, cflow.py:488-518)
+    n_gen = 20
+    z = jax.random.normal(key, (n_gen, n * 3))
+    conds = jnp.linspace(0.0, 1.0, n_gen)[:, None]
+    samples = model.apply(params, z, conds, method=RealNVP.inverse)
+    coords = np.asarray(minmax_unscale(samples, lo, hi)).reshape(n_gen, n, 3)
     _export_xyz(os.path.join(out_dir, "cFlow_generated.xyz"), coords, names)
     _eval_generated(out_dir, "flow", coords, traj)
     return params
@@ -709,13 +761,18 @@ def _run_transformer(ff, traj, epochs, batch_size, rng, key, logger, keeper,
     from molecular_dynamics_tpu.evaluate import unwhiten
     from molecular_dynamics_tpu.train.seq import autoregressive_rollout
 
-    w0 = jnp.asarray(traj.trajectories[0][:history].reshape(history, feat))
-    frames = autoregressive_rollout(model, params, w0, n_steps=50)
-    coords = unwhiten(np.asarray(frames).reshape(-1, n, 3), w_mean, w_std)
+    roll_len = int(np.mean([len(t) for t in traj.trajectories]))
+    rolls = []
+    for t_arr in traj.trajectories[:8]:
+        w0 = jnp.asarray(t_arr[:history].reshape(history, feat))
+        frames = autoregressive_rollout(model, params, w0, n_steps=roll_len)
+        rolls.append(
+            unwhiten(np.asarray(frames).reshape(-1, n, 3), w_mean, w_std)
+        )
     _export_xyz(
-        os.path.join(out_dir, "Transformer_generated.xyz"), coords, names
+        os.path.join(out_dir, "Transformer_generated.xyz"), rolls[0], names
     )
-    _eval_generated(out_dir, "transformer", coords, raw_traj)
+    _eval_rollout_ensemble(out_dir, "transformer", rolls, raw_traj)
     return params
 
 
@@ -745,6 +802,7 @@ def _run_gat(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
         nxt_l.append(t_one[sel + 1])
         vel_l.append(np.stack([v[sel - 1], v[sel - 2]], axis=1))
         acc_l.append(a[sel - 1])
+    traj_starts = np.cumsum([0] + [len(x) for x in pos_l])[:-1]
     pos_a = np.concatenate(pos_l)
     nxt_a = np.concatenate(nxt_l)
     vv = np.concatenate(vel_l)
@@ -802,7 +860,12 @@ def _run_gat(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
                 _log(logger, curves, keeper, params, epoch, i, loss, t0)
 
     # autoregressive rollout (semi-implicit Euler with a velocity-history
-    # queue, single_graph_gat.py:225-260) in the normalized units above
+    # queue, single_graph_gat.py:225-260) in the normalized units above.
+    # Rollout length = full trajectory length, so the generated ensemble
+    # traverses the same normalized-time span the evaluator buckets over
+    # (a short rollout pins the e2e statistics at the pathway's start).
+    roll_len = int(np.mean([len(t) for t in traj.trajectories]))
+
     @jax.jit
     def roll(params, pos0, v1, v2):
         def stepf(carry, _):
@@ -821,18 +884,23 @@ def _run_gat(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
             stepf,
             (pos0, v1, v2),
             None,
-            length=50,
+            length=roll_len,
         )
         return out
 
-    frames = roll(
-        params,
-        jnp.asarray(pos_a[0]),
-        jnp.asarray(vv[0, 0]),
-        jnp.asarray(vv[0, 1]),
-    )
-    _export_xyz(os.path.join(out_dir, "GAT_generated.xyz"), frames, names)
-    _eval_generated(out_dir, "gat", np.asarray(frames), traj)
+    rolls = [
+        np.asarray(
+            roll(
+                params,
+                jnp.asarray(pos_a[s0]),
+                jnp.asarray(vv[s0, 0]),
+                jnp.asarray(vv[s0, 1]),
+            )
+        )
+        for s0 in traj_starts[:8]
+    ]
+    _export_xyz(os.path.join(out_dir, "GAT_generated.xyz"), rolls[0], names)
+    _eval_rollout_ensemble(out_dir, "gat", rolls, traj)
     return params
 
 
@@ -859,14 +927,14 @@ def _run_sde(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     wins = []
     for t_arr in traj.trajectories:
         flat = t_arr.reshape(len(t_arr), -1)
-        for s in range(0, len(flat) - path_len + 1, path_len):
+        for s in range(0, len(flat) - path_len + 1, path_len // 2):
             wins.append(flat[s : s + path_len])
     paths = np.stack(wins).astype(np.float32)
 
     ts = jnp.linspace(0.0, 1.0, path_len)
     gen = SDEGenerator(data_dim=feat)
     disc = CDEDiscriminator(data_dim=feat)
-    cfg = SDEGANConfig()
+    cfg = SDEGANConfig(gp_weight=10.0, adam=True, lr_g=2e-4, lr_d=1e-3, moment_weight=1.0)
     init_fn, (opt_g, opt_d), g_step, d_step, _, swa_update = (
         make_sde_gan_trainer(gen, disc, ts, ff=None, config=cfg)
     )
@@ -896,34 +964,51 @@ def _run_sde(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     g_avg = g_params
     t0 = time.time()
     i = 0
+    # uniform SWA over the second half of training (the reference starts
+    # averaging at step 500 of its horizon, sde.py:365,434-435)
+    steps_per_epoch = max(1, (len(paths) - batch_size + 1) // batch_size + 1)
+    swa_start = (epochs * steps_per_epoch) // 2
+    n_avg = 0
     for epoch in range(epochs):
         order = rng.permutation(len(paths))
         for s in range(0, len(order) - batch_size + 1, batch_size):
             real = jnp.asarray(paths[order[s : s + batch_size]])
             key, k1, k2, k3 = jax.random.split(key, 4)
             g_params, g_opt, g_loss = g_step(
-                g_params, g_opt, d_params, k1, batch_size
+                g_params, g_opt, d_params, k1, real
             )
-            d_params, d_opt, d_loss = d_step(
-                d_params, d_opt, g_params, k2, real
-            )
+            for k_extra in jax.random.split(k2, 3):
+                d_params, d_opt, d_loss = d_step(
+                    d_params, d_opt, g_params, k_extra, real
+                )
             if i % cfg.potential_every == cfg.potential_every - 1:
                 g_params, g_opt, _ = informed_step(g_params, g_opt, k3)
-            g_avg = swa_update(g_avg, g_params)
+            if i >= swa_start:
+                g_avg = swa_update(g_avg, g_params, n_avg)
+                n_avg += 1
+            else:
+                g_avg = g_params
             i += 1
             if i % 10 == 0:
                 _log(logger, curves, keeper, g_params, epoch, i, d_loss, t0)
-    # generate paths with the SWA generator; evaluate marginals + e2e
+    # generate paths with the SWA generator; evaluate marginals + e2e.
+    # 256 paths keep the finite-sample TV floor well below the signal; the
+    # data-vs-data split TV is reported as the floor of the estimator.
     key, sub = jax.random.split(key)
-    fake = gen.apply(g_avg, sub, ts, 32)
+    fake = gen.apply(g_avg, sub, ts, 256)
     coords = unwhiten(
         np.asarray(fake).reshape(-1, n, 3), w_mean, w_std
     )
-    _export_xyz(os.path.join(out_dir, "SDE_generated.xyz"), coords, names)
-    _eval_generated(
-        out_dir, "sde", coords, raw_traj,
-        extra=marginal_histograms(np.asarray(fake), paths),
+    _export_xyz(
+        os.path.join(out_dir, "SDE_generated.xyz"), coords[:256], names
     )
+    half = rng.permutation(len(paths))
+    floor = marginal_histograms(
+        paths[half[: len(half) // 2]], paths[half[len(half) // 2 :]]
+    )
+    extra = marginal_histograms(np.asarray(fake), paths)
+    extra["marginal_tv_floor"] = floor["marginal_tv_mean"]
+    _eval_generated(out_dir, "sde", coords, raw_traj, extra=extra)
     return g_avg
 
 
@@ -976,13 +1061,21 @@ def _run_node(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
             if i >= 200 * (epoch + 1):
                 break
     # rollout through the solver -> coordinates (position half of the state)
-    frames = rk4_rollout(
-        hnn_field(model, params), jnp.asarray(x[0]), n_steps=200, dt=dt
-    )
-    half = frames.shape[1] // 2
-    coords = np.asarray(frames[:, :half]).reshape(len(frames), -1, 3)
-    _export_xyz(os.path.join(out_dir, "NODE_generated.xyz"), coords, names)
-    _eval_generated(out_dir, "node", coords, traj)
+    roll_len = int(np.mean([len(t) for t in traj.trajectories]))
+    n_traj = len(traj.trajectories)
+    per = max(1, len(x) // n_traj)
+    rolls = []
+    for r in range(min(n_traj, 8)):
+        frames = rk4_rollout(
+            hnn_field(model, params), jnp.asarray(x[r * per]),
+            n_steps=roll_len, dt=dt,
+        )
+        half = frames.shape[1] // 2
+        rolls.append(
+            np.asarray(frames[:, :half]).reshape(len(frames), -1, 3)
+        )
+    _export_xyz(os.path.join(out_dir, "NODE_generated.xyz"), rolls[0], names)
+    _eval_rollout_ensemble(out_dir, "node", rolls, traj)
     return params
 
 
@@ -1038,14 +1131,19 @@ def _run_seq2seq_gan(ff, traj, epochs, batch_size, rng, key, logger, keeper,
                 i += 1
                 if i % 10 == 0:
                     _log(logger, curves, keeper, g_params, epoch, i, g_loss, t0)
-    w0 = jnp.asarray(traj.trajectories[0][:history].reshape(history, feat))
-    key, sub = jax.random.split(key)
-    gen_seq = gen.apply(g_params, w0[None], sub, 50)[0]
-    coords = unwhiten(np.asarray(gen_seq).reshape(-1, n, 3), w_mean, w_std)
+    roll_len = int(np.mean([len(t) for t in traj.trajectories]))
+    rolls = []
+    for t_arr in traj.trajectories[:8]:
+        w0 = jnp.asarray(t_arr[:history].reshape(history, feat))
+        key, sub = jax.random.split(key)
+        gen_seq = gen.apply(g_params, w0[None], sub, roll_len)[0]
+        rolls.append(
+            unwhiten(np.asarray(gen_seq).reshape(-1, n, 3), w_mean, w_std)
+        )
     _export_xyz(
-        os.path.join(out_dir, "Seq2SeqGAN_generated.xyz"), coords, names
+        os.path.join(out_dir, "Seq2SeqGAN_generated.xyz"), rolls[0], names
     )
-    _eval_generated(out_dir, "seq2seq-gan", coords, raw_traj)
+    _eval_rollout_ensemble(out_dir, "seq2seq-gan", rolls, raw_traj)
     return g_params
 
 
@@ -1120,14 +1218,19 @@ def _run_lstm_gat(ff, traj, epochs, batch_size, rng, key, logger, keeper,
             return w, pred
 
         _, out = jax.lax.scan(
-            stepf, w0, None, length=50
+            stepf, w0, None,
+            length=int(np.mean([len(t) for t in traj.trajectories])),
         )
         return out
 
-    frames = roll(params, jnp.asarray(traj.trajectories[0][:history]))
-    coords = unwhiten(np.asarray(frames), w_mean, w_std)
-    _export_xyz(os.path.join(out_dir, "LSTMGAT_generated.xyz"), coords, names)
-    _eval_generated(out_dir, "lstm-gat", coords, raw_traj)
+    rolls = []
+    for t_arr in traj.trajectories[:8]:
+        frames = roll(params, jnp.asarray(t_arr[:history]))
+        rolls.append(unwhiten(np.asarray(frames), w_mean, w_std))
+    _export_xyz(
+        os.path.join(out_dir, "LSTMGAT_generated.xyz"), rolls[0], names
+    )
+    _eval_rollout_ensemble(out_dir, "lstm-gat", rolls, raw_traj)
     return params
 
 

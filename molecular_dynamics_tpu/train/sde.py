@@ -26,12 +26,31 @@ from molecular_dynamics_tpu.train.losses import potential_loss
 
 @dataclasses.dataclass(frozen=True)
 class SDEGANConfig:
-    lr_g: float = 2e-4
-    lr_d: float = 1e-3
-    weight_clip: float = 0.98  # critic clamp (sde.py:433)
+    lr_g: float = 1e-2
+    lr_d: float = 5e-2
+    #: > 0 switches the critic constraint from weight clipping to a WGAN-GP
+    #: gradient penalty (more reliable on the 120-dim coordinate paths
+    #: than the reference's clamp; the clamp remains available)
+    gp_weight: float = 0.0
+    adam: bool = False  # use Adam instead of the reference's Adadelta
+    #: auxiliary per-feature moment matching (mean + std of the generated
+    #: batch vs the real batch, per time step): directly shapes the path
+    #: marginals the evaluation measures
+    moment_weight: float = 0.0
+    weight_decay: float = 0.01  # Adadelta weight decay (sde.py:400-403)
+    #: critic Lipschitz constraint: per-layer clamp of each Dense kernel to
+    #: +-1/out_features (sde.py:429-433) — pairs with LipSwish activations
+    per_layer_clip: bool = False
+    weight_clip: float = 0.98  # fallback global clamp if per_layer_clip off
     swa_decay: float = 0.99  # stochastic weight averaging
     potential_every: int = 10
     potential_weight: float = 1e-3
+    #: generator init scaling (sde.py:362-396). The reference's mults
+    #: (3.0 / 0.5) are tuned to its tiny 3-dim toy problem; on the 120-dim
+    #: whitened coordinate paths the measured-best init is unscaled
+    #: initial net + shrunk drift/diffusion
+    init_mult_initial: float = 1.0
+    init_mult_func: float = 1.0
 
 
 def make_sde_gan_trainer(
@@ -43,21 +62,59 @@ def make_sde_gan_trainer(
     config: SDEGANConfig = SDEGANConfig(),
 ):
     """Returns (init_fn, opts, g_step, d_step, informed_step, swa_update)."""
-    opt_g = optax.adadelta(config.lr_g)
-    opt_d = optax.adadelta(config.lr_d)
+    if config.adam:
+        opt_g = optax.adam(config.lr_g)
+        opt_d = optax.adam(config.lr_d)
+    else:
+        opt_g = optax.adadelta(config.lr_g, weight_decay=config.weight_decay)
+        opt_d = optax.adadelta(config.lr_d, weight_decay=config.weight_decay)
 
     def init_fn(key, batch: int):
         kg, kd = jax.random.split(key)
         g_params = generator.init(kg, kg, ts, batch)
+        # init scaling (sde.py:393-396): initial-condition net x3, SDE
+        # drift/diffusion nets x0.5
+        def scale(path, leaf):
+            name = "/".join(str(k.key) for k in path if hasattr(k, "key"))
+            if "initial" in name:
+                return leaf * config.init_mult_initial
+            if "drift" in name or "diffusion" in name:
+                return leaf * config.init_mult_func
+            return leaf
+
+        g_params = jax.tree_util.tree_map_with_path(scale, g_params)
         fake = generator.apply(g_params, kg, ts, batch)
         d_params = discriminator.init(kd, fake, ts)
         return g_params, d_params
 
-    @functools.partial(jax.jit, static_argnums=4)
-    def g_step(g_params, g_opt, d_params, key, batch_size):
+    def _clip_critic(params):
+        if not config.per_layer_clip:
+            clip = config.weight_clip
+            return jax.tree.map(lambda w: jnp.clip(w, -clip, clip), params)
+
+        # per-layer clamp: Dense kernels (in, out) to +-1/out (sde.py:433)
+        def clip_leaf(w):
+            if w.ndim == 2:
+                lim = 1.0 / w.shape[-1]
+                return jnp.clip(w, -lim, lim)
+            return w
+
+        return jax.tree.map(clip_leaf, params)
+
+    @jax.jit
+    def g_step(g_params, g_opt, d_params, key, real_paths):
         def loss(gp):
-            fake = generator.apply(gp, key, ts, batch_size)
-            return -jnp.mean(discriminator.apply(d_params, fake, ts))
+            fake = generator.apply(
+                gp, key, ts, real_paths.shape[0]
+            )
+            adv = -jnp.mean(discriminator.apply(d_params, fake, ts))
+            if config.moment_weight > 0.0:
+                mf, mr = fake.mean(axis=0), real_paths.mean(axis=0)
+                sf, sr = fake.std(axis=0), real_paths.std(axis=0)
+                adv = adv + config.moment_weight * (
+                    jnp.mean((mf - mr) ** 2) + jnp.mean((sf - sr) ** 2)
+                )
+            return adv
 
         val, grads = jax.value_and_grad(loss)(g_params)
         updates, g_opt = opt_g.update(grads, g_opt, g_params)
@@ -65,18 +122,34 @@ def make_sde_gan_trainer(
 
     @jax.jit
     def d_step(d_params, d_opt, g_params, key, real_paths):
+        k_fake, k_eps = jax.random.split(key)
+
         def loss(dp):
-            fake = generator.apply(g_params, key, ts, real_paths.shape[0])
-            return jnp.mean(discriminator.apply(dp, fake, ts)) - jnp.mean(
+            fake = generator.apply(
+                g_params, k_fake, ts, real_paths.shape[0]
+            )
+            w = jnp.mean(discriminator.apply(dp, fake, ts)) - jnp.mean(
                 discriminator.apply(dp, real_paths, ts)
             )
+            if config.gp_weight > 0.0:
+                eps = jax.random.uniform(
+                    k_eps, (real_paths.shape[0], 1, 1)
+                )
+                mid = eps * real_paths + (1.0 - eps) * fake
+                grad_fn = jax.grad(
+                    lambda m: jnp.sum(discriminator.apply(dp, m, ts))
+                )
+                g = grad_fn(mid).reshape(real_paths.shape[0], -1)
+                gn = jnp.sqrt(jnp.sum(g * g, axis=-1) + 1e-12)
+                w = w + config.gp_weight * jnp.mean((gn - 1.0) ** 2)
+            return w
 
         val, grads = jax.value_and_grad(loss)(d_params)
         updates, d_opt = opt_d.update(grads, d_opt, d_params)
         new = optax.apply_updates(d_params, updates)
-        clip = config.weight_clip
-        new = jax.tree.map(lambda w: jnp.clip(w, -clip, clip), new)
-        return new, d_opt, val
+        if config.gp_weight > 0.0:
+            return new, d_opt, val
+        return _clip_critic(new), d_opt, val
 
     @functools.partial(jax.jit, static_argnums=3)
     def informed_step(g_params, g_opt, key, batch_size):
@@ -95,8 +168,12 @@ def make_sde_gan_trainer(
         return optax.apply_updates(g_params, updates), g_opt, val
 
     @jax.jit
-    def swa_update(avg_params, params):
-        d = config.swa_decay
-        return jax.tree.map(lambda a, p: d * a + (1 - d) * p, avg_params, params)
+    def swa_update(avg_params, params, n_averaged):
+        """Uniform running average (torch swa_utils.AveragedModel semantics,
+        sde.py:434-435); callers start averaging late in training."""
+        return jax.tree.map(
+            lambda a, p: a + (p - a) / (n_averaged + 1.0),
+            avg_params, params,
+        )
 
     return init_fn, (opt_g, opt_d), g_step, d_step, informed_step, swa_update

@@ -50,7 +50,7 @@ class TestSDEGAN:
             float(jnp.max(jnp.abs(l))) for l in jax.tree.leaves(d_params)
         )
         assert maxw <= 0.98 + 1e-6
-        avg = swa(g_params, g_params)
+        avg = swa(g_params, g_params, 0)
         assert jax.tree.structure(avg) == jax.tree.structure(g_params)
 
 
