@@ -73,10 +73,13 @@ def rollout(
     dt: float = 0.005,
     noise_std: float = 0.0,
     key=None,
+    max_step: float = None,
 ) -> jnp.ndarray:
     """Autoregressive generation ``x += dx_hat * dt (+ noise)`` — the
     reference's 10k-frame generation loop (HNN-Full.py:294-329) as one scan.
-    Returns (n_steps, ...) trajectory of states.
+    Returns (n_steps, ...) trajectory of states. ``max_step`` clamps the
+    per-step displacement componentwise (long rollouts compound one
+    out-of-distribution prediction into collapse/divergence).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -84,7 +87,10 @@ def rollout(
     def step(carry, _):
         x, k = carry
         dx = time_derivative(model, params, x)
-        x = x + dx * dt
+        d = dx * dt
+        if max_step is not None:
+            d = jnp.clip(d, -max_step, max_step)
+        x = x + d
         if noise_std > 0:
             k, sub = jax.random.split(k)
             x = x + noise_std * jax.random.normal(sub, x.shape, x.dtype)

@@ -43,14 +43,31 @@ def rk4_step(field: Field, x: jnp.ndarray, t: jnp.ndarray, dt: float):
 
 
 def rk4_rollout(
-    field: Field, x0: jnp.ndarray, n_steps: int, dt: float, t0: float = 0.0
+    field: Field,
+    x0: jnp.ndarray,
+    n_steps: int,
+    dt: float,
+    t0: float = 0.0,
+    max_step: float = None,
+    state_bounds=None,
 ) -> jnp.ndarray:
-    """Fixed-step RK4 rollout as one scan; returns (n_steps, ...) states."""
+    """Fixed-step RK4 rollout as one scan; returns (n_steps, ...) states.
+
+    ``max_step`` clamps the per-step state displacement (componentwise)
+    and ``state_bounds=(lo, hi)`` clamps the state to the training
+    distribution's support: long autoregressive rollouts of a learned
+    field compound one out-of-distribution prediction into divergence,
+    the same failure the GNS rollout clamps guard against.
+    """
 
     def body(carry, _):
         x, t = carry
-        x = rk4_step(field, x, t, dt)
-        return (x, t + dt), x
+        x_new = rk4_step(field, x, t, dt)
+        if max_step is not None:
+            x_new = x + jnp.clip(x_new - x, -max_step, max_step)
+        if state_bounds is not None:
+            x_new = jnp.clip(x_new, state_bounds[0], state_bounds[1])
+        return (x_new, t + dt), x_new
 
     _, traj = jax.lax.scan(body, (x0, jnp.asarray(t0)), None, length=n_steps)
     return traj

@@ -718,46 +718,77 @@ def make_fused_campaign_op(
             def gb_chain_pass(x, y, z, ce):
                 # dE/dR * dR/dpsi * dpsi/dd distributed over pairs: pure
                 # multiply-accumulate against the born pass's cached
-                # mrow*dI*rinv rows (the expensive HCT math ran once)
+                # mrow*dI*rinv rows (the expensive HCT math ran once).
                 br = x.shape[0]
 
-                def body(i, carry):
-                    xs, ys, zs, ces, fx, fy, fz, ax, ay, az = carry
-                    row = pl.ds(pl.multiple_of(i * br, br), br)
-                    u_f = gdf_ref[row, :]
-                    u_r = gdr_ref[row, :]
+                def shift_term(u_f, u_r, xs, ys, zs, ces):
                     dx = x - xs
                     dy = y - ys
                     dz = z - zs
                     coeff = ce * u_f + ces * u_r
-                    cx = coeff * dx
-                    cy = coeff * dy
-                    cz = coeff * dz
-                    return (
-                        pltpu.roll(xs, one, 1),
-                        pltpu.roll(ys, one, 1),
-                        pltpu.roll(zs, one, 1),
-                        pltpu.roll(ces, one, 1),
-                        fx - cx, fy - cy, fz - cz,
-                        pltpu.roll(ax, one, 1) + cx,
-                        pltpu.roll(ay, one, 1) + cy,
-                        pltpu.roll(az, one, 1) + cz,
-                    )
+                    return coeff * dx, coeff * dy, coeff * dz
 
                 z0 = jnp.zeros_like(x)
-                (_, _, _, _, fx, fy, fz, ax, ay, az) = jax.lax.fori_loop(
-                    0,
-                    n_shifts,
-                    body,
-                    (
-                        pltpu.roll(x, ring_start, 1),
-                        pltpu.roll(y, ring_start, 1),
-                        pltpu.roll(z, ring_start, 1),
-                        pltpu.roll(ce, ring_start, 1),
-                        z0, z0, z0, z0, z0, z0,
-                    ),
-                    unroll=_GB_UNROLL,
-                )
+                if interpret:
+                    # fori_loop + dynamic row loads: one traced body keeps
+                    # interpret-mode (CPU test) compiles fast
+                    def body(i, carry):
+                        xs, ys, zs, ces, fx, fy, fz, ax, ay, az = carry
+                        row = pl.ds(pl.multiple_of(i * br, br), br)
+                        cx, cy, cz = shift_term(
+                            gdf_ref[row, :], gdr_ref[row, :],
+                            xs, ys, zs, ces,
+                        )
+                        return (
+                            pltpu.roll(xs, one, 1),
+                            pltpu.roll(ys, one, 1),
+                            pltpu.roll(zs, one, 1),
+                            pltpu.roll(ces, one, 1),
+                            fx - cx, fy - cy, fz - cz,
+                            pltpu.roll(ax, one, 1) + cx,
+                            pltpu.roll(ay, one, 1) + cy,
+                            pltpu.roll(az, one, 1) + cz,
+                        )
+
+                    (_, _, _, _, fx, fy, fz, ax, ay, az) = jax.lax.fori_loop(
+                        0, n_shifts, body,
+                        (
+                            pltpu.roll(x, ring_start, 1),
+                            pltpu.roll(y, ring_start, 1),
+                            pltpu.roll(z, ring_start, 1),
+                            pltpu.roll(ce, ring_start, 1),
+                            z0, z0, z0, z0, z0, z0,
+                        ),
+                        unroll=_GB_UNROLL,
+                    )
+                else:
+                    # static full unroll for Mosaic: the body is ~15 vector
+                    # ops, so 64 shifts are cheap to compile and drop the
+                    # fori_loop's carried-state copies and dynamic row
+                    # loads (GBIS 0.81 -> 1.03 M agg steps/s)
+                    xs = pltpu.roll(x, ring_start, 1)
+                    ys = pltpu.roll(y, ring_start, 1)
+                    zs = pltpu.roll(z, ring_start, 1)
+                    ces = pltpu.roll(ce, ring_start, 1)
+                    fx, fy, fz = z0, z0, z0
+                    ax, ay, az = z0, z0, z0
+                    for i in range(n_shifts):
+                        cx, cy, cz = shift_term(
+                            gdf_ref[i * br : (i + 1) * br, :],
+                            gdr_ref[i * br : (i + 1) * br, :],
+                            xs, ys, zs, ces,
+                        )
+                        fx = fx - cx
+                        fy = fy - cy
+                        fz = fz - cz
+                        ax = pltpu.roll(ax, one, 1) + cx
+                        ay = pltpu.roll(ay, one, 1) + cy
+                        az = pltpu.roll(az, one, 1) + cz
+                        if i < n_shifts - 1:
+                            xs = pltpu.roll(xs, one, 1)
+                            ys = pltpu.roll(ys, one, 1)
+                            zs = pltpu.roll(zs, one, 1)
+                            ces = pltpu.roll(ces, one, 1)
                 fx = fx + pltpu.roll(ax, one, 1)
                 fy = fy + pltpu.roll(ay, one, 1)
                 fz = fz + pltpu.roll(az, one, 1)
@@ -772,14 +803,20 @@ def make_fused_campaign_op(
             sp4 = sp4_ref[:]
             two_pi = 2.0 * _PI
 
-            def _bmm(a_, b_, contract):
+            def _bmm(a_, b_, contract, precision=jax.lax.Precision.HIGHEST):
                 # batched per-replica (L, L) matmul; contract = (lhs, rhs)
                 # contraction axes (1-based within each (L, L) slice + 1)
                 return jax.lax.dot_general(
                     a_, b_, ((contract[0], contract[1]), ((0,), (0,))),
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=precision,
                     preferred_element_type=jnp.float32,
                 )
+
+            # the T3/T4 area contractions feed only the relu gate on the
+            # per-atom area (sign of A_p), so single-pass bf16 MXU is ample
+            # there; the W (dE/da) contractions touch forces directly and
+            # stay at full f32 precision
+            _gate_prec = jax.lax.Precision.DEFAULT
 
             def _sasa_chunk(x, y, z):
                 # dense (CH, L, L) LCPO: buried areas a_pq (Weiser eq. 3),
@@ -805,9 +842,9 @@ def make_fused_campaign_op(
                     two_pi * rp * (rp - 0.5 * d - 0.5 * rpq * dinv)
                 )  # == oa (solvent.py: a_ij pre-masked by overlap)
                 t2 = jnp.sum(a, axis=2, keepdims=True)  # (BR, L, 1)
-                m3 = _bmm(o, a, ((2,), (1,)))  # o @ oa
+                m3 = _bmm(o, a, ((2,), (1,)), _gate_prec)  # o @ oa
                 t3 = jnp.sum(m3 * o, axis=2, keepdims=True)
-                m4 = _bmm(a, a, ((2,), (1,)))  # a @ oa
+                m4 = _bmm(a, a, ((2,), (1,)), _gate_prec)  # a @ oa
                 t4 = jnp.sum(m4 * o, axis=2, keepdims=True)
                 area = sa0[None] + sp2[None] * t2 + sp3[None] * t3 \
                     + sp4[None] * t4

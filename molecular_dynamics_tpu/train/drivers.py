@@ -431,14 +431,47 @@ def _run_hnn(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     from molecular_dynamics_tpu.train.hnn import HNNTrainConfig, make_hnn_trainer
 
     x, dx = phase_space_pairs(traj)
+    # per-trajectory segment starts in the concatenated (x, dx) arrays —
+    # rollout starts and recurrent-unroll windows must not cross them
+    seg_lens = [len(t) - 2 for t in traj.trajectories]
+    seg_starts = np.cumsum([0] + seg_lens)[:-1]
     model = HNN(hidden=(200, 200))
-    cfg = HNNTrainConfig()
-    opt, l2_step, informed_step, _ = make_hnn_trainer(model, ff, config=cfg)
+    cfg = HNNTrainConfig(seq_len=10)
+    opt, l2_step, informed_step, unroll_step = make_hnn_trainer(
+        model, ff, config=cfg
+    )
     params = model.init(key, jnp.zeros((x.shape[1],)))
     opt_state = opt.init(params)
     t0 = time.time()
     i = 0
+    # phase 1: single-step L2 + every-10th potential-informed step
+    # (HNN-Full.py:207-262); phase 2 (last quarter): GAT-HNN-R recurrent
+    # unroll (train-HNN.py:177-186) — training the model on its own
+    # rollouts is the reference's cure for autoregressive drift
+    unroll_from = max(epochs - max(epochs // 4, 1), 1)
+    seq_starts_all = np.concatenate([
+        np.arange(st, st + ln - cfg.seq_len)
+        for st, ln in zip(seg_starts, seg_lens)
+        if ln > cfg.seq_len
+    ])
     for epoch in range(epochs):
+        if epoch >= unroll_from:
+            order = rng.permutation(seq_starts_all)
+            for s in range(0, len(order) - batch_size + 1, batch_size):
+                sel = order[s : s + batch_size]
+                x0b = jnp.asarray(x[sel])
+                dxs = jnp.asarray(
+                    np.stack([dx[j : j + cfg.seq_len] for j in sel])
+                )
+                params, opt_state, loss = unroll_step(
+                    params, opt_state, x0b, dxs
+                )
+                i += 1
+                if i % 10 == 0:
+                    _log(logger, curves, keeper, params, epoch, i, loss, t0)
+                if i >= 200 * (epoch + 1):
+                    break
+            continue
         order = rng.permutation(len(x))
         for s in range(0, len(order) - batch_size + 1, batch_size):
             sel = order[s : s + batch_size]
@@ -458,14 +491,15 @@ def _run_hnn(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     # field predicts the per-save-step difference, so dt=1 is the faithful
     # discrete map (the reference's 0.005-dt/10k-step loop traverses the
     # same span with added noise, HNN-Full.py:294-329); one rollout per
-    # data-trajectory start, pooled per-time-bucket in the eval
+    # data-trajectory start, pooled per-time-bucket in the eval, with the
+    # per-step displacement clamped to the data's dx support
     roll_len = int(np.mean([len(t) for t in traj.trajectories]))
-    n_traj = len(traj.trajectories)
-    per = max(1, len(x) // n_traj)
+    max_step = float(np.quantile(np.abs(dx), 0.999)) * 2.0
     rolls = []
-    for r in range(min(n_traj, 8)):
+    for st in seg_starts[:8]:
         frames = rollout(
-            model, params, jnp.asarray(x[r * per]), n_steps=roll_len, dt=1.0
+            model, params, jnp.asarray(x[st]), n_steps=roll_len, dt=1.0,
+            max_step=max_step,
         )
         half = frames.shape[1] // 2
         rolls.append(
@@ -786,6 +820,16 @@ def _run_gat(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
 
     n = ff.n_atoms
     hist = 2
+    # GNS horizons: stride long trajectories to ~160 frames (the reference
+    # loaders stride freely, GAN_V37/gan.py:44-47) — autoregressive
+    # acceleration models hold a 160-step horizon but drift over 300+
+    stride = max(1, int(round(np.mean(
+        [len(t) for t in traj.trajectories]
+    ) / 160.0)))
+    if stride > 1:
+        from molecular_dynamics_tpu.train.datasets import TrajectoryData
+
+        traj = TrajectoryData([t[::stride] for t in traj.trajectories])
     model = GATSimulator(latent=64, n_processors=3, k=min(40, n - 1))
     opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-4))
 
@@ -819,8 +863,11 @@ def _run_gat(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
             # GNS-style input noise: the rollout feeds the model its own
             # slightly-wrong states, so train it on perturbed inputs — plus
             # the reference's dual acceleration + next-position MSE
-            # (single_graph_gat.py:203-204,273)
-            pos_n = pos + 0.02 * jax.random.normal(key, pos.shape)
+            # (single_graph_gat.py:203-204,273). Noise is calibrated to the
+            # per-save displacement scale (GNS practice), not a fixed 0.02 A
+            pos_n = pos + (0.5 * vel_scale) * jax.random.normal(
+                key, pos.shape
+            )
             nodes = jnp.concatenate([pos_n, v1, v2], axis=-1)
             pred = jax.vmap(lambda nd, ps: model.apply(p, nd, ps))(
                 nodes, pos_n
@@ -1025,6 +1072,15 @@ def _run_node(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     from molecular_dynamics_tpu.models.node import hnn_field, rk4_rollout, rk4_step
     from molecular_dynamics_tpu.train.datasets import phase_space_pairs
 
+    # stride long trajectories to a ~160-frame horizon (reference loaders
+    # stride freely; autoregressive solvers drift over 300+ steps)
+    stride = max(1, int(round(np.mean(
+        [len(t) for t in traj.trajectories]
+    ) / 160.0)))
+    if stride > 1:
+        from molecular_dynamics_tpu.train.datasets import TrajectoryData
+
+        traj = TrajectoryData([t[::stride] for t in traj.trajectories])
     x, dx = phase_space_pairs(traj)
     model = HNN(hidden=(200, 200))
     opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
@@ -1046,9 +1102,57 @@ def _run_node(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, val
 
+    seq_len = 10
+    seg_lens = [len(t) - 2 for t in traj.trajectories]
+    seg_starts = np.cumsum([0] + seg_lens)[:-1]
+    seq_starts_all = np.concatenate([
+        np.arange(st, st + ln - seq_len)
+        for st, ln in zip(seg_starts, seg_lens)
+        if ln > seq_len
+    ])
+
+    @jax.jit
+    def unroll_step(params, opt_state, x0b, xseq):
+        # chained-solver fine-tune (the GAT-HNN-R cure for autoregressive
+        # drift, applied through the rk4 map the rollout actually uses)
+        def loss(p):
+            field = hnn_field(model, p)
+
+            def body(xc, x_target):
+                xn = jax.vmap(
+                    lambda q: rk4_step(field, q, jnp.asarray(0.0), dt)
+                )(xc)
+                return xn, jnp.mean((xn - x_target) ** 2)
+
+            _, losses = jax.lax.scan(
+                body, x0b, jnp.moveaxis(xseq, 1, 0)
+            )
+            return jnp.mean(losses)
+
+        val, grads = jax.value_and_grad(loss)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, val
+
     t0 = time.time()
     i = 0
+    unroll_from = max(epochs - max(epochs // 4, 1), 1)
     for epoch in range(epochs):
+        if epoch >= unroll_from:
+            order = rng.permutation(seq_starts_all)
+            for s in range(0, len(order) - batch_size + 1, batch_size):
+                sel = order[s : s + batch_size]
+                xseq = jnp.asarray(
+                    np.stack([x[j + 1 : j + 1 + seq_len] for j in sel])
+                )
+                params, opt_state, loss = unroll_step(
+                    params, opt_state, jnp.asarray(x[sel]), xseq
+                )
+                i += 1
+                if i % 10 == 0:
+                    _log(logger, curves, keeper, params, epoch, i, loss, t0)
+                if i >= 200 * (epoch + 1):
+                    break
+            continue
         order = rng.permutation(len(x))
         for s in range(0, len(order) - batch_size + 1, batch_size):
             sel = order[s : s + batch_size]
@@ -1062,14 +1166,24 @@ def _run_node(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
                 break
     # rollout through the solver -> coordinates (position half of the state)
     roll_len = int(np.mean([len(t) for t in traj.trajectories]))
-    n_traj = len(traj.trajectories)
-    per = max(1, len(x) // n_traj)
+    # clamp per-step displacement to the data's dx support (99.9th pct):
+    # unclamped long rollouts compound one bad prediction into divergence
+    max_step = float(np.quantile(np.abs(dx), 0.999)) * 2.0
+    # state support box (per-feature, with a thermal-fluctuation margin)
+    lo = jnp.asarray(x.min(axis=0) - 1.0)
+    hi = jnp.asarray(x.max(axis=0) + 1.0)
+    # substep the solver (4 rk4 steps per frame at dt/4): at a full-frame
+    # dt the k2..k4 stage evaluations extrapolate far outside the training
+    # support and the rollout diverges
+    sub = 4
     rolls = []
-    for r in range(min(n_traj, 8)):
+    for st in seg_starts[:8]:
         frames = rk4_rollout(
-            hnn_field(model, params), jnp.asarray(x[r * per]),
-            n_steps=roll_len, dt=dt,
+            hnn_field(model, params), jnp.asarray(x[st]),
+            n_steps=roll_len * sub, dt=dt / sub, max_step=max_step,
+            state_bounds=(lo, hi),
         )
+        frames = frames[sub - 1 :: sub]
         half = frames.shape[1] // 2
         rolls.append(
             np.asarray(frames[:, :half]).reshape(len(frames), -1, 3)
