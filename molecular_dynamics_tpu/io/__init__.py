@@ -14,6 +14,8 @@ from molecular_dynamics_tpu.io.dcd import read_dcd, write_dcd
 from molecular_dynamics_tpu.io.charmm_prm import CharmmPrm
 from molecular_dynamics_tpu.io.xsc import read_xsc
 from molecular_dynamics_tpu.io.xtc import read_xtc, write_xtc
+from molecular_dynamics_tpu.io.mol2 import read_mol2, write_mol2
+from molecular_dynamics_tpu.io.sdf import read_sdf
 
 __all__ = [
     "read_psf",
@@ -29,4 +31,7 @@ __all__ = [
     "read_xsc",
     "read_xtc",
     "write_xtc",
+    "read_mol2",
+    "write_mol2",
+    "read_sdf",
 ]

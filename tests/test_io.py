@@ -146,3 +146,85 @@ class TestCodecs:
         coords, cells = read_dcd(str(smd))
         assert coords.ndim == 3 and coords.shape[2] == 3
         assert np.isfinite(coords).all()
+
+
+class TestMol2Sdf:
+    def test_mol2_roundtrip(self, tmp_path, rng):
+        from molecular_dynamics_tpu.io import read_mol2, write_mol2
+
+        coords = rng.normal(0, 5, (6, 3)).round(4)
+        names = np.array(["C1", "C2", "N1", "O1", "H1", "H2"], object)
+        types = np.array(["C.3", "C.ar", "N.am", "O.2", "H", "H"], object)
+        charges = np.array([0.1, -0.2, 0.3, -0.4, 0.05, 0.15])
+        bonds = np.array([[0, 1], [1, 2], [2, 3], [0, 4], [0, 5]])
+        btypes = np.array(["1", "ar", "am", "1", "1"], object)
+        p = tmp_path / "t.mol2"
+        write_mol2(
+            str(p), coords, names, atom_types=types, charges=charges,
+            bonds=bonds, bond_types=btypes,
+        )
+        m = read_mol2(str(p))
+        np.testing.assert_allclose(m["coords"], coords, atol=1e-4)
+        assert list(m["names"]) == list(names)
+        assert list(m["atom_types"]) == list(types)
+        assert list(m["elements"]) == ["C", "C", "N", "O", "H", "H"]
+        np.testing.assert_allclose(m["charges"], charges, atol=1e-4)
+        np.testing.assert_array_equal(m["bonds"], bonds)
+        assert list(m["bond_types"]) == list(btypes)
+
+    def test_mol2_first_molecule_only(self, tmp_path):
+        from molecular_dynamics_tpu.io import read_mol2
+
+        text = (
+            "# comment\n"
+            "@<TRIPOS>MOLECULE\nm1\n2 1 0 0 0\nSMALL\nNO_CHARGES\n"
+            "@<TRIPOS>ATOM\n"
+            "1 CA 0.0 0.0 0.0 C.3 1 ALA 0.0\n"
+            "2 CB 1.5 0.0 0.0 C.3 1 ALA 0.0\n"
+            "@<TRIPOS>BOND\n1 1 2 1\n"
+            "@<TRIPOS>MOLECULE\nm2\n1 0 0 0 0\nSMALL\nNO_CHARGES\n"
+            "@<TRIPOS>ATOM\n1 X 9.0 9.0 9.0 C.3 1 UNK 0.0\n"
+        )
+        p = tmp_path / "two.mol2"
+        p.write_text(text)
+        m = read_mol2(str(p))
+        assert len(m["coords"]) == 2  # second molecule not merged in
+        assert m["bonds"].shape == (1, 2)
+
+    def test_sdf_v2000(self, tmp_path):
+        from molecular_dynamics_tpu.io import read_sdf
+
+        # two records: atom-block charge codes, then an M  CHG override
+        rec1 = (
+            "benzene-ish\n  mdx\n\n"
+            "  3  2  0  0  0  0  0  0  0  0999 V2000\n"
+            "    0.0000    0.0000    0.0000 C   0  0  0  0  0  0\n"
+            "    1.4000    0.0000    0.0000 N   0  3  0  0  0  0\n"
+            "   -1.4000    0.0000    0.0000 O   0  5  0  0  0  0\n"
+            "  1  2  1  0\n"
+            "  1  3  2  0\n"
+            "M  END\n$$$$\n"
+        )
+        rec2 = (
+            "chg-override\n  mdx\n\n"
+            "  2  1  0  0  0  0  0  0  0  0999 V2000\n"
+            "    0.0000    0.0000    0.0000 S   0  1  0  0  0  0\n"
+            "    2.0000    0.0000    0.0000 K   0  0  0  0  0  0\n"
+            "  1  2  1  0\n"
+            "M  CHG  2   1  -1   2   1\n"
+            "M  END\n$$$$\n"
+        )
+        p = tmp_path / "t.sdf"
+        p.write_text(rec1 + rec2)
+        recs = read_sdf(str(p))
+        assert len(recs) == 2
+        r1, r2 = recs
+        assert r1["name"] == "benzene-ish"
+        assert list(r1["elements"]) == ["C", "N", "O"]
+        # atom-block codes: 3 -> +1, 5 -> -1
+        assert list(r1["charges"]) == [0, 1, -1]
+        np.testing.assert_array_equal(r1["bonds"], [[0, 1], [0, 2]])
+        assert list(r1["bond_types"]) == ["1", "2"]
+        np.testing.assert_allclose(r1["coords"][:, 0], [0.0, 1.4, -1.4])
+        # M  CHG wipes the atom block's +3 on atom 1 and sets -1/+1
+        assert list(r2["charges"]) == [-1, 1]
