@@ -257,24 +257,45 @@ def _gb_tables(ff: FFParams, n_pad: int):
 
 
 def _sasa_tables(ff: FFParams, n_pad: int):
-    """LCPO tables for the in-kernel dense SASA pass.
+    """LCPO tables for the in-kernel dense SASA pass, on the *compact*
+    heavy-atom set.
 
-    Column-shaped (L, 1) copies put per-atom-p values on sublanes (W's row
-    index) without any in-kernel transpose; the (1, L) row covers the
-    partner index q. ``a0col`` folds the constant P1*4*pi*r^2 term.
+    LCPO only involves atoms with a nonzero SASA radius (hydrogens carry
+    rho=0, Weiser et al. table 2 / NAMD LCPO), so the dense pairwise pass
+    runs over a compacted index set of width ``lc`` (~51 of decaalanine's
+    104 atoms, padded to a multiple of 8): every elementwise (CH, lc, lc)
+    tensor and every MXU contraction shrinks ~4x/8x vs the full (CH, L, L)
+    pass. ``sel`` (L, lc) / ``selt`` (lc, L) are exact 0/1 gather/scatter
+    matrices (applied at HIGHEST precision, so the compaction is bit-exact
+    on the selected lanes). Column-shaped (lc, 1) copies put per-atom-p
+    values on sublanes (W's row index) without any in-kernel transpose;
+    the (1, lc) row covers the partner index q. ``a0col`` folds the
+    constant P1*4*pi*r^2 term. Pad columns gather coordinate 0 with radius
+    0: ghost-ghost pairs die on the d2>0 guard, ghost-real pairs on the
+    overlap test (d < r_p + 0 requires d < |r_p - 0|).
     """
     n = ff.n_atoms
-    radii = np.zeros(n_pad, np.float32)
-    radii[:n] = np.asarray(ff.sasa_radii, np.float32)
-    p = np.zeros((n_pad, 4), np.float32)
-    p[:n] = np.asarray(ff.sasa_params, np.float32)
+    radii_full = np.zeros(n_pad, np.float32)
+    radii_full[:n] = np.asarray(ff.sasa_radii, np.float32)
+    active = np.nonzero(radii_full > 0.0)[0]
+    nc = len(active)
+    lc = max(8, ((nc + 7) // 8) * 8)
+    sel = np.zeros((n_pad, lc), np.float32)
+    sel[active, np.arange(nc)] = 1.0
+    radii = np.zeros(lc, np.float32)
+    radii[:nc] = radii_full[active]
+    p_full = np.zeros((n_pad, 4), np.float32)
+    p_full[:n] = np.asarray(ff.sasa_params, np.float32)
+    p = np.zeros((lc, 4), np.float32)
+    p[:nc] = p_full[active]
     a0 = p[:, 0] * 4.0 * np.pi * radii * radii
-    col = lambda v: jnp.asarray(v[:, None], jnp.float32)  # (L, 1)
+    col = lambda v: jnp.asarray(v[:, None], jnp.float32)  # (lc, 1)
     return (
+        jnp.asarray(sel), jnp.asarray(sel.T),
         col(radii),
-        jnp.asarray(radii[None, :], jnp.float32),  # (1, L)
+        jnp.asarray(radii[None, :], jnp.float32),  # (1, lc)
         col(a0), col(p[:, 1]), col(p[:, 2]), col(p[:, 3]),
-    )
+    ), lc
 
 
 def _constraint_tables(cons, n_pad: int):
@@ -357,11 +378,12 @@ def make_fused_campaign_op(
     ``ion_concentration`` feed the Debye-screened prefactor.
     ``sasa=True`` adds the LCPO nonpolar force (NAMD ``sasa on``,
     gendirs_GBIS.py:64, matching ``solvent.sasa_energy``) as a dense
-    (BR, L, L) pass: pairwise buried areas + the analytic W-matrix
-    cotangent (dE/dA_pairwise) built from per-replica MXU matmuls —
-    with gb it completes the full NAMD campaign physics in-kernel. The
-    dense pass runs in replica chunks of 8 so its (CH, L, L) tensors stay
-    VMEM-small at any ``block_r``.
+    pairwise pass over the *compact heavy-atom set* (hydrogens have zero
+    LCPO radius and cannot contribute — see ``_sasa_tables``): buried
+    areas + the analytic W-matrix cotangent (dE/dA_pairwise) built from
+    per-replica MXU matmuls — with gb it completes the full NAMD campaign
+    physics in-kernel. The dense pass runs in replica sub-chunks so its
+    (CH, lc, lc) tensors stay VMEM-small at any ``block_r``.
     Arrays are (R, N, 3); t0 int32 scalar; seed int32 scalar.
     """
     n = ff.n_atoms
@@ -463,11 +485,12 @@ def make_fused_campaign_op(
         gb_shift_tables, gb_lane_tables = (), ()
 
     use_sasa = bool(sasa)
-    #: replica rows per dense-SASA evaluation. Inlining the (CH, L, L)
-    #: chunk body more than once makes Mosaic's scheduler pathological
-    #: (block_r=32 compiled >30 min on v5e), so larger blocks loop over
-    #: 8-row sub-chunks with a fori_loop + VMEM scratch (one body
-    #: instance); 8 is the f32 sublane tile, so smaller is never useful.
+    #: replica rows per dense-SASA evaluation. Inlining the chunk body
+    #: more than once makes Mosaic's scheduler pathological (block_r=32
+    #: compiled >30 min on v5e at full width), so larger blocks loop over
+    #: sub-chunks with a fori_loop + VMEM scratch (one body instance).
+    #: On the compact heavy-atom set (lc ~ 64 lanes) a 16-row chunk keeps
+    #: the dense temporaries at half the old (8, 128, 128) footprint.
     sasa_chunk_r = 8
     if use_sasa:
         if not ff.has_gb:
@@ -475,11 +498,15 @@ def make_fused_campaign_op(
                 "sasa=True needs LCPO tables on the FFParams "
                 "(solvent.attach_gb_params)"
             )
-        sasa_tables = _sasa_tables(ff, n_pad)
+        sasa_tables, sasa_lc = _sasa_tables(ff, n_pad)
+        if sasa_lc <= LANE // 2:
+            sasa_chunk_r = 16
         block_r = max(block_r, sasa_chunk_r)
+        if block_r % sasa_chunk_r:
+            sasa_chunk_r = 8
         gamma_sasa = float(surface_tension)
     else:
-        sasa_tables = ()
+        sasa_tables, sasa_lc = (), 0
 
     ring_kw = dict(
         n_shifts=n_shifts,
@@ -517,9 +544,10 @@ def make_fused_campaign_op(
             rest = rest[10:]
         if use_sasa:
             (
+                ssel_ref, sselt_ref,
                 sradc_ref, sradr_ref, sa0_ref, sp2_ref, sp3_ref, sp4_ref,
-            ) = rest[:6]
-            rest = rest[6:]
+            ) = rest[:8]
+            rest = rest[8:]
         (
             ox_ref, oy_ref, oz_ref, ovx_ref, ovy_ref, ovz_ref,
             ofx_ref, ofy_ref, ofz_ref,
@@ -795,8 +823,10 @@ def make_fused_campaign_op(
                 return fx, fy, fz
 
         if use_sasa:
-            sradc = sradc_ref[:]  # (L, 1): radius of atom p (sublane index)
-            sradr = sradr_ref[:]  # (1, L): radius of atom q (lane index)
+            ssel = ssel_ref[:]  # (L, lc) 0/1 gather to the heavy-atom set
+            sselt = sselt_ref[:]  # (lc, L) scatter back
+            sradc = sradc_ref[:]  # (lc, 1): radius of atom p (sublane index)
+            sradr = sradr_ref[:]  # (1, lc): radius of atom q (lane index)
             sa0 = sa0_ref[:]
             sp2 = sp2_ref[:]
             sp3 = sp3_ref[:]
@@ -856,13 +886,14 @@ def make_fused_campaign_op(
                 # + o_pq (o^T diag(gP3) o)_pq       (T3 of every atom i)
                 # + g_p P4_p (o @ oa^T)_pq          (T4 of atom p, a-factor)
                 # + o_pq (a^T diag(gP4) o)_pq       (T4 of atom i, oa-factor)
-                gp3o = (g * sp3[None]) * o
-                gp4o = (g * sp4[None]) * o
+                # The T3 and T4-oa terms contract the same rhs (o) over the
+                # same axis, so they merge into ONE matmul with
+                # lhs = diag(gP3) o + diag(gP4) a.
+                gp34 = (g * sp3[None]) * o + (g * sp4[None]) * a
                 w = (
                     g * sp2[None]
-                    + o * _bmm(o, gp3o, ((1,), (1,)))
+                    + o * _bmm(gp34, o, ((1,), (1,)))
                     + (g * sp4[None]) * _bmm(o, a, ((2,), (2,)))
-                    + o * _bmm(a, gp4o, ((1,), (1,)))
                 )
                 ap = two_pi * rp * (-0.5 + 0.5 * rpq * dinv * dinv)
                 c = jnp.where(o_b, w * ap, 0.0) * dinv
@@ -877,10 +908,15 @@ def make_fused_campaign_op(
                 )
 
             def sasa_pass(x, y, z):
-                # 8-row sub-chunks through VMEM scratch: one (8, L, L)
-                # dense body instance regardless of block_r (see the
-                # sasa_chunk_r note above), dynamic sublane-aligned slices
-                ssx_ref[:], ssy_ref[:], ssz_ref[:] = x, y, z
+                # Gather the heavy-atom set (exact 0/1 selection matmuls),
+                # run the dense pass in sub-chunks through VMEM scratch —
+                # one (CH, lc, lc) body instance regardless of block_r
+                # (see the sasa_chunk_r note above), dynamic sublane-
+                # aligned slices — then scatter the compact forces back to
+                # full atom lanes with one matmul per axis.
+                ssx_ref[:] = _mm(x, ssel)
+                ssy_ref[:] = _mm(y, ssel)
+                ssz_ref[:] = _mm(z, ssel)
 
                 def body(c, _):
                     r0 = pl.multiple_of(c * sasa_chunk_r, sasa_chunk_r)
@@ -896,7 +932,11 @@ def make_fused_campaign_op(
                 jax.lax.fori_loop(
                     0, block_r // sasa_chunk_r, body, 0, unroll=1
                 )
-                return sfx_ref[:], sfy_ref[:], sfz_ref[:]
+                return (
+                    _mm(sfx_ref[:], sselt),
+                    _mm(sfy_ref[:], sselt),
+                    _mm(sfz_ref[:], sselt),
+                )
 
         def forces(x, y, z, t_step):
             if use_gb:
@@ -1179,9 +1219,10 @@ def make_fused_campaign_op(
         if use_sasa:
             in_tabs += list(sasa_tables)
             tab_specs += [
-                bcast((n_pad, 1)), bcast((1, n_pad)),
-                bcast((n_pad, 1)), bcast((n_pad, 1)),
-                bcast((n_pad, 1)), bcast((n_pad, 1)),
+                bcast((n_pad, sasa_lc)), bcast((sasa_lc, n_pad)),
+                bcast((sasa_lc, 1)), bcast((1, sasa_lc)),
+                bcast((sasa_lc, 1)), bcast((sasa_lc, 1)),
+                bcast((sasa_lc, 1)), bcast((sasa_lc, 1)),
             ]
 
         out_shape = [jax.ShapeDtypeStruct((r, n_pad), jnp.float32)] * 9
@@ -1194,7 +1235,7 @@ def make_fused_campaign_op(
             ] * 2
         if use_sasa:
             scratch_shapes += [
-                pltpu.VMEM((block_r, n_pad), jnp.float32)
+                pltpu.VMEM((block_r, sasa_lc), jnp.float32)
             ] * 6
         outs = pl.pallas_call(
             kernel,

@@ -301,6 +301,7 @@ def simulate_ensemble(
     mesh=None,
     axis_name: str = "replica",
     obs_every: int = 1,
+    save_forces: bool = False,
 ) -> Tuple[MDState, jnp.ndarray, dict]:
     """Replica-ensemble rollout: ``states`` has a leading replica axis.
 
@@ -319,8 +320,14 @@ def simulate_ensemble(
     which can dominate low-replica campaigns driven by the fused kernel.
     ``n_steps // save_every`` must be divisible by it.
 
+    ``save_forces=True`` additionally records the per-atom total forces of
+    every saved frame — the reference's ``tclForces`` force-dump campaign
+    variant (SMD_with_Forces/gendirs_GBIS_tcl-forces.py:90-122), which
+    dumped forces per frame for the force-matching training lines.
+
     Returns (final_states, frames (n_saves, R, N, 3), log of
-    (n_saves // obs_every, R)).
+    (n_saves // obs_every, R)); with ``save_forces``, (final_states,
+    frames, log, forces (n_saves, R, N, 3)).
     """
     n_saves = n_steps // save_every
     obs_every = max(1, int(obs_every))
@@ -403,7 +410,8 @@ def simulate_ensemble(
                 pos=pos, vel=vel, forces=frc,
                 step=states.step + save_every,
             )
-            return states, states.pos
+            ys = (states.pos, states.forces) if save_forces else states.pos
+            return states, ys
 
     else:
         step_fn = make_ensemble_step_fn(ff, config, bias)
@@ -412,23 +420,26 @@ def simulate_ensemble(
             states = jax.lax.fori_loop(
                 0, save_every, lambda _, s: step_fn(s), states
             )
-            return states, states.pos
+            ys = (states.pos, states.forces) if save_forces else states.pos
+            return states, ys
 
     @jax.jit
     def run(states):
         # observables every obs_every-th save: inner scan collects frames,
         # the (expensive) per-term energy log runs once per outer block
         def block(states, _):
-            states, frames = jax.lax.scan(
+            states, ys = jax.lax.scan(
                 segment, states, None, length=obs_every
             )
-            return states, (frames, jax.vmap(obs_fn)(states))
+            return states, (ys, jax.vmap(obs_fn)(states))
 
         return jax.lax.scan(block, states, None, length=n_saves // obs_every)
 
-    final, (frames, log) = run(states)
-    frames = frames.reshape((n_saves,) + frames.shape[2:])
-    return final, frames, log
+    final, (ys, log) = run(states)
+    flat = lambda a: a.reshape((n_saves,) + a.shape[2:])
+    if save_forces:
+        return final, flat(ys[0]), log, flat(ys[1])
+    return final, flat(ys), log
 
 
 def smd_campaign_config(

@@ -54,6 +54,12 @@ def main():
     ap.add_argument("--max-dump", type=int, default=4,
                     help="replicas to write npy/dcd for (stats use all)")
     ap.add_argument(
+        "--forces", action="store_true",
+        help="also dump per-atom total forces per saved frame "
+        "(the reference's tclForces campaign variant, "
+        "SMD_with_Forces/gendirs_GBIS_tcl-forces.py:90-122)",
+    )
+    ap.add_argument(
         "--obs-every", type=int, default=1,
         help="log observables every Nth saved frame (frames still saved "
         "every --save-every steps): the per-term energy log costs a full "
@@ -115,16 +121,19 @@ def main():
     chunk = max(quantum, min(args.chunk_steps, args.steps))
     chunk -= chunk % quantum
     total = args.steps - args.steps % quantum
-    frames_parts, log_parts = [], []
+    frames_parts, log_parts, force_parts = [], [], []
     states = ens
     done = 0
     while done < total:
         n_chunk = min(chunk, total - done)
         n_chunk -= n_chunk % quantum
-        states, fr, lg = simulate_ensemble(
+        out = simulate_ensemble(
             states, ff, n_chunk, args.save_every, cfg, bias,
-            obs_every=args.obs_every,
+            obs_every=args.obs_every, save_forces=args.forces,
         )
+        states, fr, lg = out[:3]
+        if args.forces:
+            force_parts.append(np.asarray(out[3]))
         frames_parts.append(np.asarray(fr))
         log_parts.append({k: np.asarray(v) for k, v in lg.items()})
         done += n_chunk
@@ -140,6 +149,13 @@ def main():
         np.save(
             os.path.join(args.out, f"raw-traj_rep-{r}.npy"), frames[:, r]
         )
+    if args.forces:
+        force_frames = np.concatenate(force_parts)
+        for r in range(min(args.replicas, args.max_dump)):
+            np.save(
+                os.path.join(args.out, f"raw-forces_rep-{r}.npy"),
+                force_frames[:, r],
+            )
     write_dcd(os.path.join(args.out, "rep0.dcd"), frames[:, 0])
     strided_log = {k: np.asarray(v)[::20] for k, v in log.items()}
     write_simulation_log(os.path.join(args.out, "sim_log.csv"), strided_log)

@@ -247,6 +247,47 @@ class TestFusedCampaign:
         assert bool(jnp.all(jnp.isfinite(frames)))
         assert log["T"].shape == (2, 4)
 
+    def test_simulate_ensemble_save_forces(self, full_system):
+        """save_forces=True records per-atom forces per saved frame (the
+        reference's tclForces force-dump campaign,
+        SMD_with_Forces/gendirs_GBIS_tcl-forces.py:90-122); the trajectory
+        is bit-identical with and without the extra output, and the last
+        force frame equals the final state's forces."""
+        from molecular_dynamics_tpu.integrate import initialize_forces
+        from molecular_dynamics_tpu.sim import (
+            SimulationConfig,
+            simulate_ensemble,
+        )
+        from molecular_dynamics_tpu.system import replicate
+
+        ff, pos = full_system
+        n = ff.n_atoms
+        force = lambda p, b: -jax.grad(
+            lambda q: total_energy(q, ff, config=REFERENCE_CONFIG)
+        )(p)
+        state = system_init(pos, key=jax.random.PRNGKey(1))
+        state = initialize_forces(state, force)
+        ens = replicate(state, 2, seed=3)
+
+        cfg = SimulationConfig(
+            dt_fs=0.5, temperature=0.0, fused_campaign=False
+        )
+        final, frames, log = simulate_ensemble(
+            ens, ff, n_steps=20, save_every=10, config=cfg
+        )
+        final_f, frames_f, log_f, forces_f = simulate_ensemble(
+            ens, ff, n_steps=20, save_every=10, config=cfg,
+            save_forces=True,
+        )
+        assert forces_f.shape == (2, 2, n, 3)
+        assert bool(jnp.all(jnp.isfinite(forces_f)))
+        np.testing.assert_array_equal(
+            np.asarray(frames_f), np.asarray(frames)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(forces_f[-1]), np.asarray(final_f.forces)
+        )
+
     def test_simulate_ensemble_campaign_constrained(self, full_system):
         """fused_campaign + constrain_h_bonds runs the in-kernel SHAKE path
         (the flagship NAMD protocol: rigidBonds all at 2 fs)."""

@@ -42,7 +42,7 @@ class TestSDEGAN:
         g_opt = opts[0].init(g_params)
         d_opt = opts[1].init(d_params)
         real = jax.random.normal(jax.random.PRNGKey(3), (3, 5, 6))
-        g_params, g_opt, gl = g_step(g_params, g_opt, d_params, KEY, 3)
+        g_params, g_opt, gl = g_step(g_params, g_opt, d_params, KEY, real)
         d_params, d_opt, dl = d_step(d_params, d_opt, g_params, KEY, real)
         assert np.isfinite(float(gl)) and np.isfinite(float(dl))
         # critic weights clamped
