@@ -224,6 +224,7 @@ def cmd_train(args) -> int:
     return run_training(
         family=args.family,
         data=args.data,
+        data_stride=getattr(args, "stride", 1),
         topology=args.topology,
         parameters=args.parameters,
         epochs=args.epochs,
@@ -331,6 +332,11 @@ def main(argv=None) -> int:
         "gat", "sde", "node",
     ])
     p_tr.add_argument("--data", default="", help="npy glob of trajectories")
+    p_tr.add_argument(
+        "--stride", type=int, default=1,
+        help="frame stride applied when loading --data trajectories "
+        "(the reference loaders stride x10, GAN_V37/gan.py:44-47)",
+    )
     p_tr.add_argument("--topology", default="example:backbone")
     p_tr.add_argument("--parameters", default="")
     p_tr.add_argument("--epochs", type=int, default=3)

@@ -28,6 +28,8 @@ tests (single-step force match, NVE drift, thermostat temperature).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -45,6 +47,10 @@ _EPS = 1e-12
 #: supports ONLY unroll=1 or a full unroll (NotImplementedError otherwise),
 #: and the full 64-shift unroll x3 passes explodes compile time — so 1.
 _GB_UNROLL = 1
+#: statically unroll the Born pass's 64-shift sweep for Mosaic (the chain
+#: pass's unroll was worth 0.81 -> 1.03 M agg steps/s; the Born body is
+#: ~4x heavier, so compile cost is the tradeoff — knob for A/B)
+_GB_STATIC_BORN = os.environ.get("MDX_GB_STATIC_BORN", "1") == "1"
 
 _PI = 3.14159265358979
 _HALF_PI = 1.5707963267949
@@ -500,7 +506,16 @@ def make_fused_campaign_op(
             )
         sasa_tables, sasa_lc = _sasa_tables(ff, n_pad)
         if sasa_lc <= LANE // 2:
-            sasa_chunk_r = 16
+            # largest chunk that divides the block wins on chip (fewer
+            # loop iterations, better VPU occupancy): 64 > 16 > 8 measured
+            # 774k > 750k > 712k agg steps/s on v5e at block 64
+            want = int(os.environ.get("MDX_SASA_CHUNK", 0))
+            if want <= 0:
+                want = next(
+                    c for c in (64, 32, 16, 8)
+                    if max(block_r, 8) % c == 0
+                )
+            sasa_chunk_r = want
         block_r = max(block_r, sasa_chunk_r)
         if block_r % sasa_chunk_r:
             sasa_chunk_r = 8
@@ -714,19 +729,35 @@ def make_fused_campaign_op(
                     )
 
                 z0 = jnp.zeros_like(x)
-                _, _, _, sum_i, rev = jax.lax.fori_loop(
-                    0,
-                    n_shifts,
-                    body,
-                    (
+                if interpret or not _GB_STATIC_BORN:
+                    _, _, _, sum_i, rev = jax.lax.fori_loop(
+                        0,
+                        n_shifts,
+                        body,
+                        (
+                            pltpu.roll(x, ring_start, 1),
+                            pltpu.roll(y, ring_start, 1),
+                            pltpu.roll(z, ring_start, 1),
+                            z0,
+                            z0,
+                        ),
+                        unroll=_GB_UNROLL,
+                    )
+                else:
+                    # static unroll for Mosaic (same win as the chain pass:
+                    # no carried-state copies, no dynamic row loads); the
+                    # HCT body is heavy, so this stays behind a knob that
+                    # interpret mode (CPU tests) never takes
+                    carry = (
                         pltpu.roll(x, ring_start, 1),
                         pltpu.roll(y, ring_start, 1),
                         pltpu.roll(z, ring_start, 1),
                         z0,
                         z0,
-                    ),
-                    unroll=_GB_UNROLL,
-                )
+                    )
+                    for i in range(n_shifts):
+                        carry = body(i, carry)
+                    _, _, _, sum_i, rev = carry
                 sum_i = sum_i + pltpu.roll(rev, one, 1)
                 psi = 0.5 * grho * sum_i
                 h = psi * (obc_a + psi * (-obc_b + obc_g * psi))
@@ -1251,7 +1282,9 @@ def make_fused_campaign_op(
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True,
                 vmem_limit_bytes=(
-                    48 * 1024 * 1024 if (use_sasa or use_gb) else None
+                    (96 if (use_gb and _GB_STATIC_BORN) else 48) * 1024 * 1024
+                    if (use_sasa or use_gb)
+                    else None
                 ),
             ),
         )(

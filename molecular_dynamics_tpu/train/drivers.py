@@ -92,6 +92,7 @@ def _bootstrap_dataset(ff, coords, out_dir, n_replicas=8, n_steps=8000):
 def run_training(
     family: str,
     data: str = "",
+    data_stride: int = 1,
     topology: str = "example:backbone",
     parameters: str = "",
     epochs: int = 3,
@@ -115,7 +116,7 @@ def run_training(
 
     ff, coords, names, top = _load_system(topology, parameters)
     if data:
-        traj = TrajectoryData.from_npy_glob(data)
+        traj = TrajectoryData.from_npy_glob(data, stride=data_stride)
     else:
         frames = _bootstrap_dataset(ff, coords, os.path.join(out_dir, "data"))
         traj = TrajectoryData.from_array(frames)
@@ -1323,11 +1324,26 @@ def _run_lstm_gat(ff, traj, epochs, batch_size, rng, key, logger, keeper,
             if i % 10 == 0:
                 _log(logger, curves, keeper, params, epoch, i, loss, t0)
 
-    # autoregressive rollout with a shifting per-atom history window
+    # autoregressive rollout with a shifting per-atom history window.
+    # Same drift cures as the other autoregressive families: per-step
+    # displacement clamped to the data's dx support (99.9th pct) and the
+    # state clamped to the training distribution's support box — one
+    # out-of-range prediction otherwise compounds through the window.
+    dx_all = np.concatenate(
+        [np.diff(t, axis=0) for t in traj.trajectories]
+    )
+    max_step = float(np.quantile(np.abs(dx_all), 0.999)) * 2.0
+    all_w = np.concatenate([t for t in traj.trajectories])
+    box_lo = jnp.asarray(all_w.min(axis=0) - 0.5)
+    box_hi = jnp.asarray(all_w.max(axis=0) + 0.5)
+
     @jax.jit
     def roll(params, w0):
         def stepf(w, _):
+            last = w[-1]
             pred = apply_batch(params, w[None])[0]
+            pred = last + jnp.clip(pred - last, -max_step, max_step)
+            pred = jnp.clip(pred, box_lo, box_hi)
             w = jnp.concatenate([w[1:], pred[None]], axis=0)
             return w, pred
 

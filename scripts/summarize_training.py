@@ -80,10 +80,19 @@ def main():
         )
     lines += [
         "",
-        "Reproduce: `python -m molecular_dynamics_tpu.cli train <family> "
-        "--epochs 8` (bootstraps its own on-device SMD dataset) or pass "
-        "`--data 'dir/*.npy'` to reuse one. NLL-head families (lstm-nll) "
-        "train the density model only — no generation step, so no eval row.",
+        "Reproduce: `bash scripts/run_campaign.sh runs_r3 16` or per family "
+        "`python -m molecular_dynamics_tpu.cli train <family> --data "
+        "'datasets/backbone_smd/raw-traj_rep-*.npy' --epochs 16` (without "
+        "`--data` each family bootstraps its own on-device SMD dataset). "
+        "lstm-nll samples autoregressive rollouts from its Gaussian head "
+        "(the reference Alpha/LSTM-NLL predict-and-emit capability).",
+        "",
+        "The evaluator buckets the end-to-end distance per trajectory by "
+        "*normalized time* and compares generated rollouts bucket-by-bucket "
+        "(the reference keys e2e means by frame number, "
+        "GAN_V17.12/gan.py:35-56). This is stricter than a flattened/"
+        "marginal comparison — numbers are not comparable to tables "
+        "produced before the time-resolved evaluator (round 2).",
         "",
     ]
     with open(out, "w") as f:
