@@ -262,7 +262,7 @@ def _gb_tables(ff: FFParams, n_pad: int):
     )
 
 
-def _sasa_tables(ff: FFParams, n_pad: int):
+def _sasa_tables(ff: FFParams, n_pad: int, pack: int = 1):
     """LCPO tables for the in-kernel dense SASA pass, on the *compact*
     heavy-atom set.
 
@@ -279,6 +279,12 @@ def _sasa_tables(ff: FFParams, n_pad: int):
     constant P1*4*pi*r^2 term. Pad columns gather coordinate 0 with radius
     0: ghost-ghost pairs die on the d2>0 guard, ghost-real pairs on the
     overlap test (d < r_p + 0 requires d < |r_p - 0|).
+
+    ``pack=2`` sizes the per-atom tables for the two-replica lane packing:
+    ``lc`` is pinned at half the VPU lane width and every per-atom
+    column/row table is duplicated to width ``2*lc``, so a dense slab
+    holds replica pair (i, i+pw) side by side on full 128-lane vregs
+    (the gather/scatter matrices stay at ``lc`` — they apply per half).
     """
     n = ff.n_atoms
     radii_full = np.zeros(n_pad, np.float32)
@@ -286,6 +292,10 @@ def _sasa_tables(ff: FFParams, n_pad: int):
     active = np.nonzero(radii_full > 0.0)[0]
     nc = len(active)
     lc = max(8, ((nc + 7) // 8) * 8)
+    if pack == 2:
+        if lc > LANE // 2:
+            raise ValueError("pack=2 needs a compact set <= half the lanes")
+        lc = LANE // 2
     sel = np.zeros((n_pad, lc), np.float32)
     sel[active, np.arange(nc)] = 1.0
     radii = np.zeros(lc, np.float32)
@@ -295,11 +305,12 @@ def _sasa_tables(ff: FFParams, n_pad: int):
     p = np.zeros((lc, 4), np.float32)
     p[:nc] = p_full[active]
     a0 = p[:, 0] * 4.0 * np.pi * radii * radii
-    col = lambda v: jnp.asarray(v[:, None], jnp.float32)  # (lc, 1)
+    rep = lambda v: np.concatenate([v] * pack)
+    col = lambda v: jnp.asarray(rep(v)[:, None], jnp.float32)  # (pack*lc, 1)
     return (
         jnp.asarray(sel), jnp.asarray(sel.T),
         col(radii),
-        jnp.asarray(radii[None, :], jnp.float32),  # (1, lc)
+        jnp.asarray(rep(radii)[None, :], jnp.float32),  # (1, pack*lc)
         col(a0), col(p[:, 1]), col(p[:, 2]), col(p[:, 3]),
     ), lc
 
@@ -365,6 +376,7 @@ def make_fused_campaign_op(
     surface_tension: float = 0.005,
     block_r: int = 64,
     interpret: bool = False,
+    sasa_pack=None,  # None -> auto: packed dense pass when compiled
 ):
     """Build ``advance(pos, vel, forces, t0, seed) -> (pos, vel, frc)``.
 
@@ -505,23 +517,53 @@ def make_fused_campaign_op(
                 "(solvent.attach_gb_params)"
             )
         sasa_tables, sasa_lc = _sasa_tables(ff, n_pad)
-        if sasa_lc <= LANE // 2:
-            # largest chunk that divides the block wins on chip (fewer
-            # loop iterations, better VPU occupancy): 64 > 16 > 8 measured
-            # 774k > 750k > 712k agg steps/s on v5e at block 64
+        # two-replica lane packing: when the compact set fits in half the
+        # lanes, a dense slab at width lc leaves >=50% of every vreg (and
+        # 3/4 of each MXU tile) idle. Packing replica pair (i, i+pw) side
+        # by side on the lane axis runs the whole dense pass on full
+        # 128-lane vregs / 128-wide contractions; a block-diagonal mask on
+        # the overlap test keeps the two replicas from ever interacting
+        # (all contractions then stay block-diagonal automatically,
+        # because every cross-block lhs/rhs factor is zero). Interpret
+        # mode (the CPU test env) defaults to unpacked — the wider slabs
+        # only pay off on real vregs/MXU tiles.
+        if sasa_pack is None:
+            env = os.environ.get("MDX_SASA_PACK", "")
+            sasa_pack = (env != "0") if env else not interpret
+        sasa_pack = bool(sasa_pack) and sasa_lc <= LANE // 2
+        if sasa_pack:
+            sasa_tables, sasa_lc = _sasa_tables(ff, n_pad, pack=2)
+            # pw (= block_r/2 packed rows) must be a multiple of 8 so the
+            # sub-chunk loop always has a dividing chunk and the scratch
+            # keeps >= 8 sublanes
+            block_r = ((max(block_r, 16) + 15) // 16) * 16
+            pw = block_r // 2
+            # chunk = packed rows per dense slab (each row = 2 replicas)
             want = int(os.environ.get("MDX_SASA_CHUNK", 0))
             if want <= 0:
-                want = next(
-                    c for c in (64, 32, 16, 8)
-                    if max(block_r, 8) % c == 0
-                )
+                want = next(c for c in (32, 16, 8) if pw % c == 0)
             sasa_chunk_r = want
-        block_r = max(block_r, sasa_chunk_r)
-        if block_r % sasa_chunk_r:
-            sasa_chunk_r = 8
+            if pw % sasa_chunk_r:
+                sasa_chunk_r = 8
+        else:
+            if sasa_lc <= LANE // 2:
+                # largest chunk that divides the block wins on chip (fewer
+                # loop iterations, better VPU occupancy): 64 > 16 > 8
+                # measured 774k > 750k > 712k agg steps/s on v5e, block 64
+                want = int(os.environ.get("MDX_SASA_CHUNK", 0))
+                if want <= 0:
+                    want = next(
+                        c for c in (64, 32, 16, 8)
+                        if max(block_r, 8) % c == 0
+                    )
+                sasa_chunk_r = want
+            block_r = max(block_r, sasa_chunk_r)
+            if block_r % sasa_chunk_r:
+                sasa_chunk_r = 8
         gamma_sasa = float(surface_tension)
     else:
-        sasa_tables, sasa_lc = (), 0
+        sasa_tables, sasa_lc, sasa_pack = (), 0, False
+    sasa_w = sasa_lc * (2 if sasa_pack else 1)
 
     ring_kw = dict(
         n_shifts=n_shifts,
@@ -863,6 +905,13 @@ def make_fused_campaign_op(
             sp3 = sp3_ref[:]
             sp4 = sp4_ref[:]
             two_pi = 2.0 * _PI
+            if sasa_pack:
+                # block-diagonal replica mask for the two-replica lane
+                # packing: lanes [0, lc) hold replica i, [lc, 2lc) hold
+                # replica i+pw — pairs must stay within their own half
+                bp = jax.lax.broadcasted_iota(jnp.int32, (sasa_w, sasa_w), 0)
+                bq = jax.lax.broadcasted_iota(jnp.int32, (sasa_w, sasa_w), 1)
+                blk_mask = (bp < sasa_lc) == (bq < sasa_lc)
 
             def _bmm(a_, b_, contract, precision=jax.lax.Precision.HIGHEST):
                 # batched per-replica (L, L) matmul; contract = (lhs, rhs)
@@ -897,6 +946,8 @@ def make_fused_campaign_op(
                 # zero-radius atoms (H, ghosts) can never overlap; the
                 # d2>0 guard kills the diagonal and coincident ghosts
                 o_b = (d < rp + rq) & (d > jnp.abs(rp - rq)) & (d2 > 0.0)
+                if sasa_pack:
+                    o_b = o_b & blk_mask[None]
                 o = jnp.where(o_b, 1.0, 0.0)
                 rpq = rp * rp - rq * rq
                 a = o * (
@@ -941,13 +992,29 @@ def make_fused_campaign_op(
             def sasa_pass(x, y, z):
                 # Gather the heavy-atom set (exact 0/1 selection matmuls),
                 # run the dense pass in sub-chunks through VMEM scratch —
-                # one (CH, lc, lc) body instance regardless of block_r
+                # one (CH, w, w) body instance regardless of block_r
                 # (see the sasa_chunk_r note above), dynamic sublane-
                 # aligned slices — then scatter the compact forces back to
-                # full atom lanes with one matmul per axis.
-                ssx_ref[:] = _mm(x, ssel)
-                ssy_ref[:] = _mm(y, ssel)
-                ssz_ref[:] = _mm(z, ssel)
+                # full atom lanes with one matmul per axis. In packed mode
+                # replicas [0, pw) ride lanes [0, lc) and replicas
+                # [pw, 2pw) ride lanes [lc, 2lc) of the same scratch rows.
+                if sasa_pack:
+                    pw = block_r // 2
+                    ssx_ref[:] = jnp.concatenate(
+                        [_mm(x[:pw], ssel), _mm(x[pw:], ssel)], axis=1
+                    )
+                    ssy_ref[:] = jnp.concatenate(
+                        [_mm(y[:pw], ssel), _mm(y[pw:], ssel)], axis=1
+                    )
+                    ssz_ref[:] = jnp.concatenate(
+                        [_mm(z[:pw], ssel), _mm(z[pw:], ssel)], axis=1
+                    )
+                    n_rows = pw
+                else:
+                    ssx_ref[:] = _mm(x, ssel)
+                    ssy_ref[:] = _mm(y, ssel)
+                    ssz_ref[:] = _mm(z, ssel)
+                    n_rows = block_r
 
                 def body(c, _):
                     r0 = pl.multiple_of(c * sasa_chunk_r, sasa_chunk_r)
@@ -961,8 +1028,15 @@ def make_fused_campaign_op(
                     return 0
 
                 jax.lax.fori_loop(
-                    0, block_r // sasa_chunk_r, body, 0, unroll=1
+                    0, n_rows // sasa_chunk_r, body, 0, unroll=1
                 )
+                if sasa_pack:
+                    fxp, fyp, fzp = sfx_ref[:], sfy_ref[:], sfz_ref[:]
+                    cat = lambda f: jnp.concatenate(
+                        [_mm(f[:, :sasa_lc], sselt), _mm(f[:, sasa_lc:], sselt)],
+                        axis=0,
+                    )
+                    return cat(fxp), cat(fyp), cat(fzp)
                 return (
                     _mm(sfx_ref[:], sselt),
                     _mm(sfy_ref[:], sselt),
@@ -1251,9 +1325,9 @@ def make_fused_campaign_op(
             in_tabs += list(sasa_tables)
             tab_specs += [
                 bcast((n_pad, sasa_lc)), bcast((sasa_lc, n_pad)),
-                bcast((sasa_lc, 1)), bcast((1, sasa_lc)),
-                bcast((sasa_lc, 1)), bcast((sasa_lc, 1)),
-                bcast((sasa_lc, 1)), bcast((sasa_lc, 1)),
+                bcast((sasa_w, 1)), bcast((1, sasa_w)),
+                bcast((sasa_w, 1)), bcast((sasa_w, 1)),
+                bcast((sasa_w, 1)), bcast((sasa_w, 1)),
             ]
 
         out_shape = [jax.ShapeDtypeStruct((r, n_pad), jnp.float32)] * 9
@@ -1266,7 +1340,10 @@ def make_fused_campaign_op(
             ] * 2
         if use_sasa:
             scratch_shapes += [
-                pltpu.VMEM((block_r, sasa_lc), jnp.float32)
+                pltpu.VMEM(
+                    (block_r // 2 if sasa_pack else block_r, sasa_w),
+                    jnp.float32,
+                )
             ] * 6
         outs = pl.pallas_call(
             kernel,

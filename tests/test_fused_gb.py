@@ -291,3 +291,51 @@ class TestKernelForceAccuracy:
         # measured: kernel ~5.4e-4, composed-f32 ~1.4e-4 (forces O(76))
         assert err_kernel < 5e-3, err_kernel
         assert err_kernel < 40.0 * max(err_f32, 1e-5), (err_kernel, err_f32)
+
+
+class TestPackedSASA:
+    def test_packed_dense_pass_matches_unpacked(self, gb_system):
+        """The two-replica lane packing of the dense LCPO pass (replica
+        pair (i, i+pw) side by side on full 128-lane vregs, block-diagonal
+        overlap mask) is a pure layout change: a T=0 step must match the
+        unpacked pass at the f32 reduction floor on *distinct* replicas
+        in both packing halves."""
+        from molecular_dynamics_tpu.energy import GBIS_CONFIG
+
+        ff, pos = gb_system
+        n = ff.n_atoms
+        kw = dict(
+            n_inner=1, dt_fs=1.0, temperature=0.0, gamma_ps=1.0,
+            cutoff=GBIS_CONFIG.cutoff,
+            switch_dist=GBIS_CONFIG.switch_dist,
+            rfa=GBIS_CONFIG.rfa,
+            solvent_dielectric=GBIS_CONFIG.solvent_dielectric,
+            gb=True,
+            ion_concentration=GBIS_CONFIG.ion_concentration,
+            sasa=True,
+            surface_tension=GBIS_CONFIG.surface_tension,
+            block_r=16, interpret=True,
+        )
+        adv_packed = make_fused_campaign_op(ff, sasa_pack=True, **kw)
+        adv_plain = make_fused_campaign_op(ff, sasa_pack=False, **kw)
+
+        R = 16  # == block_r: halves hold replicas 0-7 / 8-15
+        key = jax.random.PRNGKey(7)
+        pos_b = (
+            jnp.broadcast_to(pos, (R, n, 3))
+            + 0.02 * jax.random.normal(key, (R, n, 3))
+        ).astype(jnp.float32)
+        vel_b = jnp.zeros((R, n, 3), jnp.float32)
+        pot = lambda q: total_energy(q, ff, config=GBIS_CONFIG)
+        f0 = jax.vmap(lambda p: -jax.grad(pot)(p))(pos_b)
+        step = lambda a: jax.jit(
+            lambda x, v, f: a(x, v, f, jnp.int32(0), jnp.int32(1))
+        )(pos_b, vel_b, f0)
+        p_a, v_a, f_a = step(adv_packed)
+        p_b, v_b, f_b = step(adv_plain)
+        np.testing.assert_allclose(
+            np.asarray(p_a), np.asarray(p_b), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(f_a), np.asarray(f_b), atol=5e-3
+        )
