@@ -527,9 +527,13 @@ def make_fused_campaign_op(
         # because every cross-block lhs/rhs factor is zero). Interpret
         # mode (the CPU test env) defaults to unpacked — the wider slabs
         # only pay off on real vregs/MXU tiles.
+        # measured on v5e: packing is a wash (734-741k vs 774k unpacked at
+        # 1024 reps) — doubled lane occupancy is cancelled by the wasted
+        # cross-replica blocks, and the pass is VPU-schedule-bound either
+        # way. Default off; kept as a kwarg/env-selectable layout.
         if sasa_pack is None:
             env = os.environ.get("MDX_SASA_PACK", "")
-            sasa_pack = (env != "0") if env else not interpret
+            sasa_pack = env not in ("", "0")
         sasa_pack = bool(sasa_pack) and sasa_lc <= LANE // 2
         if sasa_pack:
             sasa_tables, sasa_lc = _sasa_tables(ff, n_pad, pack=2)
@@ -912,6 +916,18 @@ def make_fused_campaign_op(
                 bp = jax.lax.broadcasted_iota(jnp.int32, (sasa_w, sasa_w), 0)
                 bq = jax.lax.broadcasted_iota(jnp.int32, (sasa_w, sasa_w), 1)
                 blk_mask = (bp < sasa_lc) == (bq < sasa_lc)
+            # hoisted per-pair constants (trace-time, outside the n_inner
+            # fori body — the chunk chain is VPU-bound, so every folded
+            # broadcast op counts): overlap window [|rp-rq|, rp+rq] and
+            # the buried-area factors  a = o*(k1 - k2*d - k3/d),
+            # da/dd = -k2 + k3/d^2  (Weiser eq. 3 regrouped by powers of d)
+            s_rsum = sradc + sradr  # (W, W)
+            s_rdiff = jnp.abs(sradc - sradr)
+            s_k1 = two_pi * sradc * sradc  # (W, 1)
+            s_k2 = _PI * sradc  # (W, 1): 2*pi*rp * 0.5
+            s_k3 = _PI * sradc * (
+                sradc * sradc - sradr * sradr
+            )  # (W, W): 2*pi*rp * 0.5*(rp^2 - rq^2)
 
             def _bmm(a_, b_, contract, precision=jax.lax.Precision.HIGHEST):
                 # batched per-replica (L, L) matmul; contract = (lhs, rhs)
@@ -938,20 +954,17 @@ def make_fused_campaign_op(
                 dy = y[:, :, None] - y[:, None, :]
                 dz = z[:, :, None] - z[:, None, :]
                 d2 = dx * dx + dy * dy + dz * dz
-                rp = sradc[None, :, :]  # (1, L, 1)
-                rq = sradr[None, :, :]  # (1, 1, L)
                 d2s = jnp.where(d2 > 0.0, d2, 1.0)
                 dinv = jax.lax.rsqrt(d2s)
                 d = d2s * dinv
                 # zero-radius atoms (H, ghosts) can never overlap; the
                 # d2>0 guard kills the diagonal and coincident ghosts
-                o_b = (d < rp + rq) & (d > jnp.abs(rp - rq)) & (d2 > 0.0)
+                o_b = (d < s_rsum[None]) & (d > s_rdiff[None]) & (d2 > 0.0)
                 if sasa_pack:
                     o_b = o_b & blk_mask[None]
                 o = jnp.where(o_b, 1.0, 0.0)
-                rpq = rp * rp - rq * rq
                 a = o * (
-                    two_pi * rp * (rp - 0.5 * d - 0.5 * rpq * dinv)
+                    s_k1[None] - s_k2[None] * d - s_k3[None] * dinv
                 )  # == oa (solvent.py: a_ij pre-masked by overlap)
                 t2 = jnp.sum(a, axis=2, keepdims=True)  # (BR, L, 1)
                 m3 = _bmm(o, a, ((2,), (1,)), _gate_prec)  # o @ oa
@@ -977,16 +990,28 @@ def make_fused_campaign_op(
                     + o * _bmm(gp34, o, ((1,), (1,)))
                     + (g * sp4[None]) * _bmm(o, a, ((2,), (2,)))
                 )
-                ap = two_pi * rp * (-0.5 + 0.5 * rpq * dinv * dinv)
+                ap = s_k3[None] * (dinv * dinv) - s_k2[None]
                 c = jnp.where(o_b, w * ap, 0.0) * dinv
-                # F_p = -sum_q (C_pq + C_qp) dx_pq = -rowsum + colsum
-                tx = c * dx
-                ty = c * dy
-                tz = c * dz
+                # forces on the MXU instead of 3 dense multiplies + 6 VPU
+                # reductions: with F_j = colsum_j(C dvec) - rowsum_j(C dvec)
+                # and dvec_pq = r_p - r_q,
+                #   F = (C + C^T) @ r  -  r * ((C + C^T) @ 1)
+                # — two batched contractions against a stacked (4, W) rhs
+                # [x; y; z; 1] (the ones column picks up the C row/col sums;
+                # ghost lanes are inert because their C entries are 0)
+                rhs = jnp.stack(
+                    [x, y, z, jnp.ones_like(x)], axis=1
+                )  # (CH, 4, W)
+                bmv = lambda contract: jax.lax.dot_general(
+                    rhs, c, (((2,), (contract,)), ((0,), (0,))),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+                s = bmv(2) + bmv(1)  # (CH, 4, W): (C + C^T) @ [r; 1]
                 return (
-                    jnp.sum(tx, axis=1) - jnp.sum(tx, axis=2),
-                    jnp.sum(ty, axis=1) - jnp.sum(ty, axis=2),
-                    jnp.sum(tz, axis=1) - jnp.sum(tz, axis=2),
+                    s[:, 0] - x * s[:, 3],
+                    s[:, 1] - y * s[:, 3],
+                    s[:, 2] - z * s[:, 3],
                 )
 
             def sasa_pass(x, y, z):
