@@ -943,6 +943,11 @@ def make_fused_campaign_op(
             # there; the W (dE/da) contractions touch forces directly and
             # stay at full f32 precision
             _gate_prec = jax.lax.Precision.DEFAULT
+            #: perf-ablation knob (debug only, parity tests run with ""):
+            #: "null" skips the whole dense pass, "geom" stops after o/a,
+            #: "nogate" skips the T3/T4 gate matmuls (g = gamma),
+            #: "now" skips the two W contractions (w = g*P2 only)
+            _ablate = os.environ.get("MDX_SASA_ABLATE", "")
 
             def _sasa_chunk(x, y, z):
                 # dense (CH, L, L) LCPO: buried areas a_pq (Weiser eq. 3),
@@ -966,16 +971,22 @@ def make_fused_campaign_op(
                 a = o * (
                     s_k1[None] - s_k2[None] * d - s_k3[None] * dinv
                 )  # == oa (solvent.py: a_ij pre-masked by overlap)
-                t2 = jnp.sum(a, axis=2, keepdims=True)  # (BR, L, 1)
-                m3 = _bmm(o, a, ((2,), (1,)), _gate_prec)  # o @ oa
-                t3 = jnp.sum(m3 * o, axis=2, keepdims=True)
-                m4 = _bmm(a, a, ((2,), (1,)), _gate_prec)  # a @ oa
-                t4 = jnp.sum(m4 * o, axis=2, keepdims=True)
-                area = sa0[None] + sp2[None] * t2 + sp3[None] * t3 \
-                    + sp4[None] * t4
-                g = jnp.where(
-                    (area > 0.0) & (sradc[None] > 0.0), gamma_sasa, 0.0
-                )  # (BR, L, 1): gamma gated by the relu in sum(max(A, 0))
+                if _ablate == "geom":
+                    return a[:, :, 0] * 0.0, a[:, :, 0] * 0.0, \
+                        a[:, :, 0] * 0.0
+                if _ablate == "nogate":
+                    g = jnp.where(sradc[None] > 0.0, gamma_sasa, 0.0)
+                else:
+                    t2 = jnp.sum(a, axis=2, keepdims=True)  # (BR, L, 1)
+                    m3 = _bmm(o, a, ((2,), (1,)), _gate_prec)  # o @ oa
+                    t3 = jnp.sum(m3 * o, axis=2, keepdims=True)
+                    m4 = _bmm(a, a, ((2,), (1,)), _gate_prec)  # a @ oa
+                    t4 = jnp.sum(m4 * o, axis=2, keepdims=True)
+                    area = sa0[None] + sp2[None] * t2 + sp3[None] * t3 \
+                        + sp4[None] * t4
+                    g = jnp.where(
+                        (area > 0.0) & (sradc[None] > 0.0), gamma_sasa, 0.0
+                    )  # (BR, L, 1): gamma gated by relu in sum(max(A, 0))
                 # W_pq = dE/da_pq:
                 #   g_p P2_p                        (T2 of atom p)
                 # + o_pq (o^T diag(gP3) o)_pq       (T3 of every atom i)
@@ -984,12 +995,15 @@ def make_fused_campaign_op(
                 # The T3 and T4-oa terms contract the same rhs (o) over the
                 # same axis, so they merge into ONE matmul with
                 # lhs = diag(gP3) o + diag(gP4) a.
-                gp34 = (g * sp3[None]) * o + (g * sp4[None]) * a
-                w = (
-                    g * sp2[None]
-                    + o * _bmm(gp34, o, ((1,), (1,)))
-                    + (g * sp4[None]) * _bmm(o, a, ((2,), (2,)))
-                )
+                if _ablate == "now":
+                    w = g * sp2[None]
+                else:
+                    gp34 = (g * sp3[None]) * o + (g * sp4[None]) * a
+                    w = (
+                        g * sp2[None]
+                        + o * _bmm(gp34, o, ((1,), (1,)))
+                        + (g * sp4[None]) * _bmm(o, a, ((2,), (2,)))
+                    )
                 ap = s_k3[None] * (dinv * dinv) - s_k2[None]
                 c = jnp.where(o_b, w * ap, 0.0) * dinv
                 # forces on the MXU instead of 3 dense multiplies + 6 VPU
@@ -1023,6 +1037,8 @@ def make_fused_campaign_op(
                 # full atom lanes with one matmul per axis. In packed mode
                 # replicas [0, pw) ride lanes [0, lc) and replicas
                 # [pw, 2pw) ride lanes [lc, 2lc) of the same scratch rows.
+                if _ablate == "null":
+                    return x * 0.0, y * 0.0, z * 0.0
                 if sasa_pack:
                     pw = block_r // 2
                     ssx_ref[:] = jnp.concatenate(

@@ -831,7 +831,13 @@ def _run_gat(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
         from molecular_dynamics_tpu.train.datasets import TrajectoryData
 
         traj = TrajectoryData([t[::stride] for t in traj.trajectories])
-    model = GATSimulator(latent=64, n_processors=3, k=min(40, n - 1))
+    # recipe knobs (sweepable; defaults = best measured configuration)
+    gat_noise = float(os.environ.get("MDX_GAT_NOISE", 0.5))
+    model = GATSimulator(
+        latent=int(os.environ.get("MDX_GAT_LATENT", 64)),
+        n_processors=int(os.environ.get("MDX_GAT_PROC", 3)),
+        k=min(40, n - 1),
+    )
     opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-4))
 
     # GNS dataset: velocities by finite difference, targets = accelerations.
@@ -852,6 +858,10 @@ def _run_gat(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     nxt_a = np.concatenate(nxt_l)
     vv = np.concatenate(vel_l)
     aa = np.concatenate(acc_l)
+    # (schedule-time node-feature conditioning was tried and measured
+    # WORSE, 3.76 vs 2.55 A e2e: the model leans on t, collapses rollout
+    # variance, and tracks a biased mean pathway — the velocity history
+    # already encodes the pulling drive)
     # normalize finite-difference scales (strided frames make raw acc huge)
     acc_scale = float(np.abs(aa).mean()) + 1e-8
     vel_scale = float(np.abs(vv).mean()) + 1e-8
@@ -866,7 +876,7 @@ def _run_gat(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
             # the reference's dual acceleration + next-position MSE
             # (single_graph_gat.py:203-204,273). Noise is calibrated to the
             # per-save displacement scale (GNS practice), not a fixed 0.02 A
-            pos_n = pos + (0.5 * vel_scale) * jax.random.normal(
+            pos_n = pos + (gat_noise * vel_scale) * jax.random.normal(
                 key, pos.shape
             )
             nodes = jnp.concatenate([pos_n, v1, v2], axis=-1)
@@ -907,6 +917,78 @@ def _run_gat(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
             if i % 10 == 0:
                 _log(logger, curves, keeper, params, epoch, i, loss, t0)
 
+    # unrolled fine-tune (GNS practice beyond the reference's 1-step
+    # training): backprop a short autoregressive rollout against the true
+    # future positions so compounding drift is penalized directly — the
+    # same semi-implicit update + support clamps the generation rollout
+    # uses, so train-time and generation-time dynamics match exactly
+    ft_w = int(os.environ.get("MDX_GAT_FT_W", 8))
+    # 6 fine-tune epochs measured 2.10 -> 1.49 A e2e (24-start eval)
+    ft_epochs = int(os.environ.get("MDX_GAT_FT_EPOCHS", 6))
+    if ft_epochs > 0 and ft_w > 1:
+        wp0, wv1, wv2, wtg = [], [], [], []
+        for ti in range(len(pos_l)):
+            t0s = traj_starts[ti]
+            ln = len(pos_l[ti])
+            for s in range(0, ln - ft_w, max(1, ft_w // 2)):
+                j = t0s + s
+                wp0.append(pos_a[j])
+                wv1.append(vv[j, 0])
+                wv2.append(vv[j, 1])
+                wtg.append(pos_a[j + 1 : j + 1 + ft_w])
+        wp0 = np.stack(wp0)
+        wv1 = np.stack(wv1)
+        wv2 = np.stack(wv2)
+        wtg = np.stack(wtg)  # (B, W, N, 3)
+        ft_opt = optax.chain(
+            optax.clip_by_global_norm(1.0), optax.adam(2e-5)
+        )
+        ft_state = ft_opt.init(params)
+
+        @jax.jit
+        def ft_step(params, ft_state, p0, v1, v2, tgt):
+            def unroll_one(p, p0i, v1i, v2i):
+                def stepf(carry, _):
+                    pos, vc1, vc2 = carry
+                    nodes = jnp.concatenate([pos, vc1, vc2], axis=-1)
+                    acc_n = jnp.clip(
+                        model.apply(p, nodes, pos), -2.0, 2.0
+                    )
+                    v_new = jnp.clip(
+                        vc1 + acc_n * (acc_scale / vel_scale), -3.0, 3.0
+                    )
+                    return (pos + v_new * vel_scale, v_new, vc1), \
+                        pos + v_new * vel_scale
+
+                _, out = jax.lax.scan(
+                    stepf, (p0i, v1i, v2i), None, length=ft_w
+                )
+                return out  # (W, N, 3)
+
+            def loss(p):
+                pred = jax.vmap(
+                    lambda a_, b_, c_: unroll_one(p, a_, b_, c_)
+                )(p0, v1, v2)
+                return jnp.mean((pred - tgt) ** 2)
+
+            val, grads = jax.value_and_grad(loss)(params)
+            updates, ft_state = ft_opt.update(grads, ft_state, params)
+            return optax.apply_updates(params, updates), ft_state, val
+
+        ft_bs = max(4, batch_size // 2)
+        for epoch in range(ft_epochs):
+            order = rng.permutation(len(wp0))
+            for s in range(0, len(order) - ft_bs + 1, ft_bs):
+                sel = order[s : s + ft_bs]
+                params, ft_state, loss = ft_step(
+                    params, ft_state,
+                    jnp.asarray(wp0[sel]), jnp.asarray(wv1[sel]),
+                    jnp.asarray(wv2[sel]), jnp.asarray(wtg[sel]),
+                )
+                i += 1
+                if i % 10 == 0:
+                    _log(logger, curves, keeper, params, epoch, i, loss, t0)
+
     # autoregressive rollout (semi-implicit Euler with a velocity-history
     # queue, single_graph_gat.py:225-260) in the normalized units above.
     # Rollout length = full trajectory length, so the generated ensemble
@@ -945,7 +1027,7 @@ def _run_gat(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
                 jnp.asarray(vv[s0, 1]),
             )
         )
-        for s0 in traj_starts[:8]
+        for s0 in traj_starts[:24]
     ]
     _export_xyz(os.path.join(out_dir, "GAT_generated.xyz"), rolls[0], names)
     _eval_rollout_ensemble(out_dir, "gat", rolls, traj)
@@ -980,9 +1062,22 @@ def _run_sde(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     paths = np.stack(wins).astype(np.float32)
 
     ts = jnp.linspace(0.0, 1.0, path_len)
-    gen = SDEGenerator(data_dim=feat)
+    # recipe knobs (sweepable; defaults = best measured configuration —
+    # latent 64 / noise 16 / hidden 128 took marginal TV 0.281 -> 0.217 on
+    # the 120-dim backbone paths; the stock latent-32 generator confined
+    # paths to too small a manifold)
+    _h = int(os.environ.get("MDX_SDE_HIDDEN", 128))
+    gen = SDEGenerator(
+        data_dim=feat,
+        latent_dim=int(os.environ.get("MDX_SDE_LATENT", 64)),
+        noise_dim=int(os.environ.get("MDX_SDE_NOISE", 16)),
+        hidden=(_h, _h),
+    )
     disc = CDEDiscriminator(data_dim=feat)
-    cfg = SDEGANConfig(gp_weight=10.0, adam=True, lr_g=2e-4, lr_d=1e-3, moment_weight=1.0)
+    cfg = SDEGANConfig(
+        gp_weight=10.0, adam=True, lr_g=2e-4, lr_d=1e-3,
+        moment_weight=float(os.environ.get("MDX_SDE_MOMENT", 1.0)),
+    )
     init_fn, (opt_g, opt_d), g_step, d_step, _, swa_update = (
         make_sde_gan_trainer(gen, disc, ts, ff=None, config=cfg)
     )
@@ -1040,10 +1135,11 @@ def _run_sde(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
             if i % 10 == 0:
                 _log(logger, curves, keeper, g_params, epoch, i, d_loss, t0)
     # generate paths with the SWA generator; evaluate marginals + e2e.
-    # 256 paths keep the finite-sample TV floor well below the signal; the
-    # data-vs-data split TV is reported as the floor of the estimator.
+    # 1024 paths: finite-sample TV biases upward ~O(sqrt(n_bins/n)), and
+    # the data-vs-data floor is computed on the (much larger) window set —
+    # a small fake sample would overstate the gap vs that floor.
     key, sub = jax.random.split(key)
-    fake = gen.apply(g_avg, sub, ts, 256)
+    fake = gen.apply(g_avg, sub, ts, 1024)
     coords = unwhiten(
         np.asarray(fake).reshape(-1, n, 3), w_mean, w_std
     )
@@ -1103,7 +1199,7 @@ def _run_node(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, val
 
-    seq_len = 10
+    seq_len = int(os.environ.get("MDX_NODE_SEQ", 10))
     seg_lens = [len(t) - 2 for t in traj.trajectories]
     seg_starts = np.cumsum([0] + seg_lens)[:-1]
     seq_starts_all = np.concatenate([
@@ -1111,6 +1207,31 @@ def _run_node(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
         for st, ln in zip(seg_starts, seg_lens)
         if ln > seq_len
     ])
+
+    # generation-map constants, needed by the fine-tune too: clamp per-step
+    # displacement to the data's dx support and the state to its box, and
+    # substep the solver (4 rk4 steps per frame at dt/4) — at a full-frame
+    # dt the k2..k4 stage evaluations extrapolate far outside the training
+    # support and the rollout diverges
+    max_step = float(np.quantile(np.abs(dx), 0.999)) * 2.0
+    lo = jnp.asarray(x.min(axis=0) - 1.0)
+    hi = jnp.asarray(x.max(axis=0) + 1.0)
+    sub = 4
+
+    def _gen_frame(field, xc):
+        # ONE generated frame == sub clamped rk4 substeps: exactly the map
+        # rk4_rollout applies at generation time, so the fine-tune trains
+        # the dynamics the rollout will actually run (training through the
+        # unclamped full-dt map instead measured 2.9-4.3 A e2e; matching
+        # the maps is the same cure that fixed the GAT rollout)
+        def sbody(xx, _):
+            xn = rk4_step(field, xx, jnp.asarray(0.0), dt / sub)
+            xn = xx + jnp.clip(xn - xx, -max_step, max_step)
+            xn = jnp.clip(xn, lo, hi)
+            return xn, None
+
+        out, _ = jax.lax.scan(sbody, xc, None, length=sub)
+        return out
 
     @jax.jit
     def unroll_step(params, opt_state, x0b, xseq):
@@ -1120,9 +1241,7 @@ def _run_node(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
             field = hnn_field(model, p)
 
             def body(xc, x_target):
-                xn = jax.vmap(
-                    lambda q: rk4_step(field, q, jnp.asarray(0.0), dt)
-                )(xc)
+                xn = jax.vmap(lambda q: _gen_frame(field, q))(xc)
                 return xn, jnp.mean((xn - x_target) ** 2)
 
             _, losses = jax.lax.scan(
@@ -1165,18 +1284,9 @@ def _run_node(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
                 _log(logger, curves, keeper, params, epoch, i, loss, t0)
             if i >= 200 * (epoch + 1):
                 break
-    # rollout through the solver -> coordinates (position half of the state)
+    # rollout through the solver -> coordinates (position half of the
+    # state); clamps/substeps == _gen_frame above (same map as fine-tune)
     roll_len = int(np.mean([len(t) for t in traj.trajectories]))
-    # clamp per-step displacement to the data's dx support (99.9th pct):
-    # unclamped long rollouts compound one bad prediction into divergence
-    max_step = float(np.quantile(np.abs(dx), 0.999)) * 2.0
-    # state support box (per-feature, with a thermal-fluctuation margin)
-    lo = jnp.asarray(x.min(axis=0) - 1.0)
-    hi = jnp.asarray(x.max(axis=0) + 1.0)
-    # substep the solver (4 rk4 steps per frame at dt/4): at a full-frame
-    # dt the k2..k4 stage evaluations extrapolate far outside the training
-    # support and the rollout diverges
-    sub = 4
     rolls = []
     for st in seg_starts[:8]:
         frames = rk4_rollout(
