@@ -938,11 +938,6 @@ def make_fused_campaign_op(
                     preferred_element_type=jnp.float32,
                 )
 
-            # the T3/T4 area contractions feed only the relu gate on the
-            # per-atom area (sign of A_p), so single-pass bf16 MXU is ample
-            # there; the W (dE/da) contractions touch forces directly and
-            # stay at full f32 precision
-            _gate_prec = jax.lax.Precision.DEFAULT
             #: perf-ablation knob (debug only, parity tests run with ""):
             #: "null" skips the whole dense pass, "geom" stops after o/a,
             #: "nogate" skips the T3/T4 gate matmuls (g = gamma),
@@ -974,14 +969,19 @@ def make_fused_campaign_op(
                 if _ablate == "geom":
                     return a[:, :, 0] * 0.0, a[:, :, 0] * 0.0, \
                         a[:, :, 0] * 0.0
+                # B_pk = sum_q o_pq a_kq (o @ oa^T): ONE contraction feeds
+                # both the gate sums and the W T4-oa term —
+                #   T3_p = sum_q o_pq (o@oa)_pq = sum_k o_pk B_pk
+                #   T4_p = sum_q o_pq (oa@oa)_pq = sum_k a_pk B_pk
+                # (swap the q/k summation order), so the two dedicated
+                # bf16 gate matmuls of the previous formulation vanish
+                b_mat = _bmm(o, a, ((2,), (2,)))
                 if _ablate == "nogate":
                     g = jnp.where(sradc[None] > 0.0, gamma_sasa, 0.0)
                 else:
                     t2 = jnp.sum(a, axis=2, keepdims=True)  # (BR, L, 1)
-                    m3 = _bmm(o, a, ((2,), (1,)), _gate_prec)  # o @ oa
-                    t3 = jnp.sum(m3 * o, axis=2, keepdims=True)
-                    m4 = _bmm(a, a, ((2,), (1,)), _gate_prec)  # a @ oa
-                    t4 = jnp.sum(m4 * o, axis=2, keepdims=True)
+                    t3 = jnp.sum(o * b_mat, axis=2, keepdims=True)
+                    t4 = jnp.sum(a * b_mat, axis=2, keepdims=True)
                     area = sa0[None] + sp2[None] * t2 + sp3[None] * t3 \
                         + sp4[None] * t4
                     g = jnp.where(
@@ -1002,7 +1002,7 @@ def make_fused_campaign_op(
                     w = (
                         g * sp2[None]
                         + o * _bmm(gp34, o, ((1,), (1,)))
-                        + (g * sp4[None]) * _bmm(o, a, ((2,), (2,)))
+                        + (g * sp4[None]) * b_mat
                     )
                 ap = s_k3[None] * (dinv * dinv) - s_k2[None]
                 c = jnp.where(o_b, w * ap, 0.0) * dinv

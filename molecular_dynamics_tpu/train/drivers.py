@@ -987,7 +987,10 @@ def _run_gat(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
                 )
                 i += 1
                 if i % 10 == 0:
-                    _log(logger, curves, keeper, params, epoch, i, loss, t0)
+                    _log(
+                        logger, curves, keeper, params,
+                        epochs + epoch, i, loss, t0,
+                    )
 
     # autoregressive rollout (semi-implicit Euler with a velocity-history
     # queue, single_graph_gat.py:225-260) in the normalized units above.

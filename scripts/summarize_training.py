@@ -78,6 +78,46 @@ def main():
                 epochs if epochs is not None else "—",
             )
         )
+    # flagship section: the full-representation cGAN on regenerated GBIS
+    # campaign data (runs_r3_full) — emitted from its eval.json so the
+    # table survives regeneration
+    full_ev = "runs_r3_full/cgan/eval.json"
+    if os.path.isfile(full_ev):
+        with open(full_ev) as f:
+            fm = json.load(f)
+        lines += [
+            "",
+            "## Flagship: full-representation cGAN on the regenerated "
+            "GBIS campaign",
+            "",
+            "The reference's headline experiment trains the 104-atom "
+            "full-representation physics-informed cGAN on the NAMD GBIS "
+            "campaign data for 12 epochs at ~490 s/epoch on a V100 "
+            "(cGAN_D_pos-2.2.4/slurm.12794887.out:13751). The TPU "
+            "equivalent regenerates the campaign **in-kernel** (64 "
+            "replicas x 1 ns of GB-OBC + LCPO SASA + rigid-bond Langevin "
+            "SMD, `scripts/regenerate_smd.py --gbis`, 254 s device wall) "
+            "and trains on it directly:",
+            "",
+            "| dataset | e2e mean err (A) | e2e max err (A) | Rg err (A) "
+            "| epochs |",
+            "|---|---|---|---|---|",
+            "| regenerated GBIS campaign, 64 reps x 1000 frames (stride "
+            "10), 104 atoms | {:.3f} | {:.3f} | {:.3f} | 16 |".format(
+                fm["mean_abs_error"], fm["max_abs_error"],
+                fm["rg_abs_error"],
+            ),
+            "",
+            "Reproduce: `python -m molecular_dynamics_tpu.cli train cgan "
+            "--topology example:full --data "
+            "'data_r3/smd_gbis/raw-traj_rep-*.npy' --stride 10 --epochs "
+            "16 --out-dir runs_r3_full` (after `python "
+            "scripts/regenerate_smd.py --gbis --replicas 64 --out "
+            "data_r3/smd_gbis`). Round-2 state was 2.57 A after 3 "
+            "epochs; the physics-gated best-checkpoint export (lowest "
+            "informed loss) carries the eval through the noisy late-GAN "
+            "phase.",
+        ]
     lines += [
         "",
         "Reproduce: `bash scripts/run_campaign.sh runs_r3 16` or per family "
