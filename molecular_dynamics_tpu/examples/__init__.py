@@ -8,6 +8,7 @@ from molecular_dynamics_tpu.examples.decaalanine import (
 from molecular_dynamics_tpu.examples.full_system import (
     decaalanine_full,
     dialanine,
+    tiled_decaalanine,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "BACKBONE_COLVAR",
     "decaalanine_full",
     "dialanine",
+    "tiled_decaalanine",
 ]

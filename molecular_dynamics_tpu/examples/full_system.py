@@ -71,3 +71,27 @@ def decaalanine_full(dtype=None) -> Tuple[FFParams, np.ndarray, dict]:
 def dialanine(dtype=None) -> Tuple[FFParams, np.ndarray, dict]:
     """22-atom AMBER di-alanine: (FFParams, start coords, metadata)."""
     return _load("diala", dtype)
+
+
+def tiled_decaalanine(
+    m: int, spacing: float = 50.0, dtype=None
+) -> Tuple[FFParams, np.ndarray, dict]:
+    """``m`` non-bonded copies of the 104-atom deca-alanine as ONE system.
+
+    Copies are spaced ``spacing`` A apart along x, so with a finite cutoff
+    the composite energy is ~m x the single-copy energy — an exact oracle
+    for validating every kernel tier at m-fold atom count (the reference
+    never exceeds 104 atoms; this is the scalability surface).
+    """
+    from molecular_dynamics_tpu.ff.params import tile_ff_params
+
+    ff, coords, meta = decaalanine_full(dtype)
+    big = tile_ff_params(ff, m)
+    shifted = np.concatenate([
+        np.asarray(coords) + np.array([k * spacing, 0.0, 0.0], coords.dtype)
+        for k in range(m)
+    ])
+    meta = dict(meta)
+    meta["atom_names"] = list(meta["atom_names"]) * m
+    meta["tiled_copies"] = m
+    return big, shifted, meta

@@ -274,3 +274,78 @@ def finalize_ff_params(
         ub_bonds=as_dev(ub_bonds, jnp.int32),
         ub_params=as_dev(ub_params, dtype),
     )
+
+
+def tile_ff_params(ff: FFParams, m: int) -> FFParams:
+    """Tile a system ``m`` times into one composite ``FFParams``.
+
+    Every bonded table is repeated with per-copy atom-index offsets; the
+    nonbonded pair tables tile as (m*N, m*N) blocks — cross-copy entries
+    are the true type-pair LJ/Coulomb values (they depend only on the two
+    atom types), and the exclusion mask excludes nothing between copies.
+    Per-atom GB/SASA tables and CMAP cross-terms tile alongside.
+
+    This is the scalability surface the reference never had (every
+    reference script is a single 40/104-atom molecule): a tiled system
+    exercises every kernel tier at m-fold atom count while keeping an
+    exact oracle — with copies placed far apart, the composite energy is
+    m times the single-copy energy plus (cutoff-suppressed) cross terms.
+    """
+    import dataclasses
+
+    n = ff.n_atoms
+    offs = np.arange(m, dtype=np.int32) * n
+
+    def tile_idx(tab):
+        tab = np.asarray(tab)
+        if tab.shape[0] == 0:
+            return jnp.asarray(tab)
+        out = np.concatenate([tab + k for k in offs])
+        return jnp.asarray(out, np.int32)
+
+    def tile_rows(tab):
+        tab = np.asarray(tab)
+        return jnp.asarray(np.concatenate([tab] * m)) if tab.shape[0] \
+            else jnp.asarray(tab)
+
+    def tile_pair(tab):
+        return jnp.asarray(np.tile(np.asarray(tab), (m, m)))
+
+    nb = np.triu(np.ones((m * n, m * n), bool), k=1)
+    base_mask = np.asarray(ff.nb_mask)
+    for k in range(m):
+        nb[k * n : (k + 1) * n, k * n : (k + 1) * n] = base_mask
+
+    opt = {}
+    for name in ("gb_radii", "gb_screen", "sasa_radii", "sasa_params"):
+        v = getattr(ff, name)
+        opt[name] = tile_rows(v) if v is not None else None
+    if ff.cmap_idx is not None:
+        opt["cmap_idx"] = tile_idx(ff.cmap_idx)
+        opt["cmap_grid_id"] = tile_rows(ff.cmap_grid_id)
+        opt["cmap_coeffs"] = ff.cmap_coeffs
+
+    return dataclasses.replace(
+        ff,
+        masses=tile_rows(ff.masses),
+        charges=tile_rows(ff.charges),
+        bonds=tile_idx(ff.bonds),
+        bond_params=tile_rows(ff.bond_params),
+        angles=tile_idx(ff.angles),
+        angle_params=tile_rows(ff.angle_params),
+        dihedrals=tile_idx(ff.dihedrals),
+        dihedral_params=tile_rows(ff.dihedral_params),
+        dihedral_term_mask=tile_rows(ff.dihedral_term_mask),
+        impropers=tile_idx(ff.impropers),
+        improper_params=tile_rows(ff.improper_params),
+        improper_term_mask=tile_rows(ff.improper_term_mask),
+        idx14=tile_idx(ff.idx14),
+        nb14_params=tile_rows(ff.nb14_params),
+        lj_a_pair=tile_pair(ff.lj_a_pair),
+        lj_b_pair=tile_pair(ff.lj_b_pair),
+        qq_pair=tile_pair(ff.qq_pair),
+        nb_mask=jnp.asarray(nb),
+        ub_bonds=tile_idx(ff.ub_bonds),
+        ub_params=tile_rows(ff.ub_params),
+        **opt,
+    )

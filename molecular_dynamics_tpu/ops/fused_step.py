@@ -1402,7 +1402,11 @@ def make_fused_campaign_op(
                 vmem_limit_bytes=(
                     (96 if (use_gb and _GB_STATIC_BORN) else 48) * 1024 * 1024
                     if (use_sasa or use_gb)
-                    else None
+                    # the shift/bonded tables are whole-block VMEM
+                    # residents and scale ~n_pad^2: past one lane-tile of
+                    # atoms the default 16M scoped budget is too small
+                    # (tiled/large systems; ceiling is physical VMEM)
+                    else (96 * 1024 * 1024 if n_pad > LANE else None)
                 ),
             ),
         )(

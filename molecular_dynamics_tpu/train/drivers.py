@@ -1172,11 +1172,12 @@ def _run_node(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     from molecular_dynamics_tpu.models.node import hnn_field, rk4_rollout, rk4_step
     from molecular_dynamics_tpu.train.datasets import phase_space_pairs
 
-    # stride long trajectories to a ~160-frame horizon (reference loaders
-    # stride freely; autoregressive solvers drift over 300+ steps)
-    stride = max(1, int(round(np.mean(
-        [len(t) for t in traj.trajectories]
-    ) / 160.0)))
+    # full frame resolution by default (the hnn family's recipe): strided
+    # frames make the finite-difference field 6x coarser/noisier and
+    # measured 2.4-4.3 A e2e vs 1.07 A at stride 1 (MDX_NODE_STRIDE
+    # overrides; the drift cure is the matched-map fine-tune + clamps,
+    # not a shorter horizon)
+    stride = int(os.environ.get("MDX_NODE_STRIDE", 1))
     if stride > 1:
         from molecular_dynamics_tpu.train.datasets import TrajectoryData
 
@@ -1219,7 +1220,9 @@ def _run_node(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     max_step = float(np.quantile(np.abs(dx), 0.999)) * 2.0
     lo = jnp.asarray(x.min(axis=0) - 1.0)
     hi = jnp.asarray(x.max(axis=0) + 1.0)
-    sub = 4
+    # 1 rk4 step per frame at full resolution (sub=4 was the strided-data
+    # cure; at stride 1 it overshoots — measured 4.06 vs 1.07 A e2e)
+    sub = int(os.environ.get("MDX_NODE_SUB", 1))
 
     def _gen_frame(field, xc):
         # ONE generated frame == sub clamped rk4 substeps: exactly the map
