@@ -92,6 +92,10 @@ def tiled_decaalanine(
         for k in range(m)
     ])
     meta = dict(meta)
-    meta["atom_names"] = list(meta["atom_names"]) * m
+    for k in ("atom_names", "atom_types", "res_names"):
+        meta[k] = list(meta[k]) * m
+    rid = np.asarray(meta["res_ids"])
+    span = int(rid.max()) + 1 if rid.size else 1
+    meta["res_ids"] = np.concatenate([rid + k * span for k in range(m)])
     meta["tiled_copies"] = m
     return big, shifted, meta

@@ -376,7 +376,7 @@ def make_fused_campaign_op(
     surface_tension: float = 0.005,
     block_r: int = 64,
     interpret: bool = False,
-    sasa_pack=None,  # None -> auto: packed dense pass when compiled
+    sasa_pack=None,  # None -> off unless MDX_SASA_PACK=1 (measured wash)
 ):
     """Build ``advance(pos, vel, forces, t0, seed) -> (pos, vel, frc)``.
 
@@ -530,10 +530,9 @@ def make_fused_campaign_op(
         # measured on v5e: packing is a wash (734-741k vs 774k unpacked at
         # 1024 reps) — doubled lane occupancy is cancelled by the wasted
         # cross-replica blocks, and the pass is VPU-schedule-bound either
-        # way. Default off; kept as a kwarg/env-selectable layout.
+        # way. Default OFF; opt in via sasa_pack=True or MDX_SASA_PACK=1.
         if sasa_pack is None:
-            env = os.environ.get("MDX_SASA_PACK", "")
-            sasa_pack = env not in ("", "0")
+            sasa_pack = os.environ.get("MDX_SASA_PACK", "") == "1"
         sasa_pack = bool(sasa_pack) and sasa_lc <= LANE // 2
         if sasa_pack:
             sasa_tables, sasa_lc = _sasa_tables(ff, n_pad, pack=2)

@@ -44,6 +44,17 @@ class BestKeeper:
             return True
         return False
 
+    def rebase(self) -> None:
+        """Reset the best-loss floor at a training-phase boundary.
+
+        Multi-phase drivers (pretrain -> GAN, 1-step -> unrolled
+        fine-tune) optimize incommensurable losses; without a rebase the
+        later phase can never beat the earlier phase's numerically
+        smaller loss and ``best.ckpt`` silently keeps the pre-phase
+        model while the recorded eval comes from the post-phase params.
+        """
+        self.best = float("inf")
+
 
 class PeriodicSaver:
     """Save every N steps + keep a rolling 'latest' for crash resume."""

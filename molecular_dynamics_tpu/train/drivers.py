@@ -455,8 +455,14 @@ def _run_hnn(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
         for st, ln in zip(seg_starts, seg_lens)
         if ln > cfg.seq_len
     ])
+    rebased = False
     for epoch in range(epochs):
         if epoch >= unroll_from:
+            if not rebased:
+                # new loss regime (recurrent-unroll MSE vs 1-step L2):
+                # rebase so best.ckpt tracks the fine-tuned model
+                keeper.rebase()
+                rebased = True
             order = rng.permutation(seq_starts_all)
             for s in range(0, len(order) - batch_size + 1, batch_size):
                 sel = order[s : s + batch_size]
@@ -922,6 +928,20 @@ def _run_gat(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     # future positions so compounding drift is penalized directly — the
     # same semi-implicit update + support clamps the generation rollout
     # uses, so train-time and generation-time dynamics match exactly
+    # ONE semi-implicit generation map (single_graph_gat.py:225-260 with
+    # support clamps), shared by the unrolled fine-tune and the rollout —
+    # the fine-tune's premise is that train-time and generation-time
+    # dynamics match exactly, so the map must exist exactly once
+    def _sim_step(p, pos, vc1, vc2):
+        nodes = jnp.concatenate([pos, vc1, vc2], axis=-1)
+        # clamp predictions to the training distribution's support
+        # (z-scored targets): strided-frame accelerations are mostly
+        # thermal noise, and one out-of-range prediction compounds
+        # through the autoregressive queue
+        acc_n = jnp.clip(model.apply(p, nodes, pos), -2.0, 2.0)
+        v_new = jnp.clip(vc1 + acc_n * (acc_scale / vel_scale), -3.0, 3.0)
+        return pos + v_new * vel_scale, v_new
+
     ft_w = int(os.environ.get("MDX_GAT_FT_W", 8))
     # 6 fine-tune epochs measured 2.10 -> 1.49 A e2e (24-start eval)
     ft_epochs = int(os.environ.get("MDX_GAT_FT_EPOCHS", 6))
@@ -936,6 +956,11 @@ def _run_gat(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
                 wv1.append(vv[j, 0])
                 wv2.append(vv[j, 1])
                 wtg.append(pos_a[j + 1 : j + 1 + ft_w])
+    if ft_epochs > 0 and ft_w > 1 and wp0:
+        # a new loss regime starts here (rollout position MSE, a
+        # different scale from phase-1 acc+pos): rebase the keeper so
+        # best.ckpt tracks the model the reported eval comes from
+        keeper.rebase()
         wp0 = np.stack(wp0)
         wv1 = np.stack(wv1)
         wv2 = np.stack(wv2)
@@ -950,15 +975,8 @@ def _run_gat(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
             def unroll_one(p, p0i, v1i, v2i):
                 def stepf(carry, _):
                     pos, vc1, vc2 = carry
-                    nodes = jnp.concatenate([pos, vc1, vc2], axis=-1)
-                    acc_n = jnp.clip(
-                        model.apply(p, nodes, pos), -2.0, 2.0
-                    )
-                    v_new = jnp.clip(
-                        vc1 + acc_n * (acc_scale / vel_scale), -3.0, 3.0
-                    )
-                    return (pos + v_new * vel_scale, v_new, vc1), \
-                        pos + v_new * vel_scale
+                    pos_new, v_new = _sim_step(p, pos, vc1, vc2)
+                    return (pos_new, v_new, vc1), pos_new
 
                 _, out = jax.lax.scan(
                     stepf, (p0i, v1i, v2i), None, length=ft_w
@@ -1003,14 +1021,7 @@ def _run_gat(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     def roll(params, pos0, v1, v2):
         def stepf(carry, _):
             pos, v1, v2 = carry
-            nodes = jnp.concatenate([pos, v1, v2], axis=-1)
-            # clamp predictions to the training distribution's support
-            # (z-scored targets): strided-frame accelerations are mostly
-            # thermal noise, and one out-of-range prediction compounds
-            # through the autoregressive queue
-            acc_n = jnp.clip(model.apply(params, nodes, pos), -2.0, 2.0)
-            v_new = jnp.clip(v1 + acc_n * (acc_scale / vel_scale), -3.0, 3.0)
-            pos_new = pos + v_new * vel_scale
+            pos_new, v_new = _sim_step(params, pos, v1, v2)
             return (pos_new, v_new, v1), pos_new
 
         _, out = jax.lax.scan(
@@ -1262,8 +1273,14 @@ def _run_node(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     t0 = time.time()
     i = 0
     unroll_from = max(epochs - max(epochs // 4, 1), 1)
+    rebased = False
     for epoch in range(epochs):
         if epoch >= unroll_from:
+            if not rebased:
+                # new loss regime (chained-solver MSE vs 1-step MSE):
+                # rebase so best.ckpt tracks the fine-tuned model
+                keeper.rebase()
+                rebased = True
             order = rng.permutation(seq_starts_all)
             for s in range(0, len(order) - batch_size + 1, batch_size):
                 sel = order[s : s + batch_size]

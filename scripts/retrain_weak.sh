@@ -8,9 +8,15 @@ OUT=${1:-runs_r3}
 EPOCHS=${2:-64}
 for fam in gat node lstm vae aae sde seq2seq; do
   echo "=== $fam ($EPOCHS epochs) ==="
-  [ -f "$OUT/$fam/eval.json" ] && cp "$OUT/$fam/eval.json" "$OUT/$fam/eval_prev.json"
+  if [ -f "$OUT/$fam/eval.json" ]; then
+    cp "$OUT/$fam/eval.json" "$OUT/$fam/eval_prev.json"
+    # a killed/failed run must not be mistaken for a result: the final
+    # report below only shows eval.json the driver wrote THIS run
+    rm "$OUT/$fam/eval.json"
+  fi
   timeout 3600 python -m molecular_dynamics_tpu.cli train "$fam" \
-    --data "$DATA" --epochs "$EPOCHS" --out-dir "$OUT" 2>&1 | tail -2
+    --data "$DATA" --epochs "$EPOCHS" --out-dir "$OUT" 2>&1 | tail -2 \
+    || echo "$fam FAILED (timeout or error)"
 done
 for fam in gat node lstm vae aae sde seq2seq; do
   echo "--- $fam"; cat "$OUT/$fam/eval.json" 2>/dev/null

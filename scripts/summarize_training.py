@@ -85,6 +85,16 @@ def main():
     if os.path.isfile(full_ev):
         with open(full_ev) as f:
             fm = json.load(f)
+        full_epochs = "—"
+        full_log = "runs_r3_full/cgan/train_log.csv"
+        if os.path.isfile(full_log):
+            with open(full_log) as f:
+                ls = [ln.strip().split(",") for ln in f if ln.strip()]
+            if len(ls) > 1:
+                # phase epoch counters reset (pretrain -> GAN): the run
+                # length is the max epoch seen across phases + 1
+                col = ls[0].index("epoch")
+                full_epochs = max(int(r[col]) for r in ls[1:]) + 1
         lines += [
             "",
             "## Flagship: full-representation cGAN on the regenerated "
@@ -103,9 +113,9 @@ def main():
             "| epochs |",
             "|---|---|---|---|---|",
             "| regenerated GBIS campaign, 64 reps x 1000 frames (stride "
-            "10), 104 atoms | {:.3f} | {:.3f} | {:.3f} | 16 |".format(
+            "10), 104 atoms | {:.3f} | {:.3f} | {:.3f} | {} |".format(
                 fm["mean_abs_error"], fm["max_abs_error"],
-                fm["rg_abs_error"],
+                fm["rg_abs_error"], full_epochs,
             ),
             "",
             "Reproduce: `python -m molecular_dynamics_tpu.cli train cgan "
