@@ -928,7 +928,28 @@ def make_fused_campaign_op(
                 sradc * sradc - sradr * sradr
             )  # (W, W): 2*pi*rp * 0.5*(rp^2 - rq^2)
 
-            def _bmm(a_, b_, contract, precision=jax.lax.Precision.HIGHEST):
+            #: MXU precision for the dense-pass contractions. HIGHEST
+            #: (6-pass f32) is the parity-pinned default; MDX_SASA_PREC=
+            #: default (single-pass bf16) is a measurement knob for the
+            #: matmul-pass ceiling (Mosaic cannot lower Precision.HIGH).
+            _sasa_prec = {
+                "highest": jax.lax.Precision.HIGHEST,
+                "default": jax.lax.Precision.DEFAULT,
+            }[os.environ.get("MDX_SASA_PREC", "highest")]
+
+            # NOTE: a flat (CH, W*W) layout for the elementwise geometry
+            # chain (full 128-lane vreg occupancy vs 44% at W ~ 56) was
+            # attempted and is IMPOSSIBLE on Mosaic: lane-crossing
+            # reshapes — vector<56x56xf32> -> vector<1x3136xf32> — fail
+            # with "infer-vector-layout: unsupported shape cast"; only
+            # sublane-merging reshapes (lanes unchanged) lower. Lane
+            # occupancy can't be recovered by relayout; concat-based
+            # packing (two replicas per lane row) was separately measured
+            # and rejected (VALIDATION.md). Math was parity-verified in
+            # interpret mode before the lowering attempt.
+
+            def _bmm(a_, b_, contract, precision=None):
+                precision = _sasa_prec if precision is None else precision
                 # batched per-replica (L, L) matmul; contract = (lhs, rhs)
                 # contraction axes (1-based within each (L, L) slice + 1)
                 return jax.lax.dot_general(
@@ -949,22 +970,36 @@ def make_fused_campaign_op(
                 # analytic dE/da_pq cotangent W and its d-derivative.
                 # Same math as solvent.sasa_energy; W derivation pinned by
                 # tests against jax.grad of the composed path.
+                # NOTE: a Gram-matrix d2 (|r_p|^2 + |r_q|^2 - 2 r_p.r_q via
+                # the MXU) was measured here and REJECTED: it saves ~4 slab
+                # ops (~2% step time) but f32 cancellation at |r| ~ 30 A
+                # raises the kernel force error 26x (1.4e-2 vs the 5.4e-4
+                # f64-pinned floor, tests/test_fused_gb.py) — exact lane
+                # differences are the accuracy-critical form.
                 dx = x[:, :, None] - x[:, None, :]
                 dy = y[:, :, None] - y[:, None, :]
                 dz = z[:, :, None] - z[:, None, :]
+                c_rsum, c_rdiff = s_rsum[None], s_rdiff[None]
+                c_k1, c_k2, c_k3 = s_k1[None], s_k2[None], s_k3[None]
+                c_blk = blk_mask[None] if sasa_pack else None
                 d2 = dx * dx + dy * dy + dz * dz
-                d2s = jnp.where(d2 > 0.0, d2, 1.0)
+                # zero-distance guard via a huge filler: d becomes 1e6 A on
+                # the diagonal / coincident ghosts, which the d < r_p + r_q
+                # window test rejects on its own — no third mask term
+                d2s = jnp.where(d2 > 0.0, d2, 1e12)
                 dinv = jax.lax.rsqrt(d2s)
                 d = d2s * dinv
-                # zero-radius atoms (H, ghosts) can never overlap; the
-                # d2>0 guard kills the diagonal and coincident ghosts
-                o_b = (d < s_rsum[None]) & (d > s_rdiff[None]) & (d2 > 0.0)
+                o_b = (d < c_rsum) & (d > c_rdiff)
                 if sasa_pack:
-                    o_b = o_b & blk_mask[None]
+                    o_b = o_b & c_blk
                 o = jnp.where(o_b, 1.0, 0.0)
                 a = o * (
-                    s_k1[None] - s_k2[None] * d - s_k3[None] * dinv
+                    c_k1 - c_k2 * d - c_k3 * dinv
                 )  # == oa (solvent.py: a_ij pre-masked by overlap)
+                # da/dd and the masked per-pair force factor, still on the
+                # chain layout; c = W ∘ cfac downstream
+                ap = c_k3 * (dinv * dinv) - c_k2
+                cfac = jnp.where(o_b, ap, 0.0) * dinv
                 if _ablate == "geom":
                     return a[:, :, 0] * 0.0, a[:, :, 0] * 0.0, \
                         a[:, :, 0] * 0.0
@@ -975,14 +1010,20 @@ def make_fused_campaign_op(
                 # (swap the q/k summation order), so the two dedicated
                 # bf16 gate matmuls of the previous formulation vanish
                 b_mat = _bmm(o, a, ((2,), (2,)))
+                # m34 = P3_p o + P4_p a is shared verbatim between the
+                # area gate (below) and the W cotangent (gp34 = g * m34),
+                # and folding the P-weights INTO the summand collapses the
+                # three per-term lane reductions t2/t3/t4 into one:
+                #   A_p = A0_p + sum_q [P2_p a_pq + (m34 ∘ B)_pq]
+                # (2 reductions saved on the pass that is reduction-bound
+                # per the ablation table in docs/VALIDATION.md)
+                m34 = sp3[None] * o + sp4[None] * a
                 if _ablate == "nogate":
                     g = jnp.where(sradc[None] > 0.0, gamma_sasa, 0.0)
                 else:
-                    t2 = jnp.sum(a, axis=2, keepdims=True)  # (BR, L, 1)
-                    t3 = jnp.sum(o * b_mat, axis=2, keepdims=True)
-                    t4 = jnp.sum(a * b_mat, axis=2, keepdims=True)
-                    area = sa0[None] + sp2[None] * t2 + sp3[None] * t3 \
-                        + sp4[None] * t4
+                    area = sa0[None] + jnp.sum(
+                        sp2[None] * a + m34 * b_mat, axis=2, keepdims=True
+                    )
                     g = jnp.where(
                         (area > 0.0) & (sradc[None] > 0.0), gamma_sasa, 0.0
                     )  # (BR, L, 1): gamma gated by relu in sum(max(A, 0))
@@ -997,14 +1038,13 @@ def make_fused_campaign_op(
                 if _ablate == "now":
                     w = g * sp2[None]
                 else:
-                    gp34 = (g * sp3[None]) * o + (g * sp4[None]) * a
+                    gp34 = g * m34
                     w = (
                         g * sp2[None]
                         + o * _bmm(gp34, o, ((1,), (1,)))
                         + (g * sp4[None]) * b_mat
                     )
-                ap = s_k3[None] * (dinv * dinv) - s_k2[None]
-                c = jnp.where(o_b, w * ap, 0.0) * dinv
+                c = w * cfac
                 # forces on the MXU instead of 3 dense multiplies + 6 VPU
                 # reductions: with F_j = colsum_j(C dvec) - rowsum_j(C dvec)
                 # and dvec_pq = r_p - r_q,
@@ -1017,7 +1057,7 @@ def make_fused_campaign_op(
                 )  # (CH, 4, W)
                 bmv = lambda contract: jax.lax.dot_general(
                     rhs, c, (((2,), (contract,)), ((0,), (0,))),
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=_sasa_prec,
                     preferred_element_type=jnp.float32,
                 )
                 s = bmv(2) + bmv(1)  # (CH, 4, W): (C + C^T) @ [r; 1]
