@@ -1470,18 +1470,70 @@ def _run_lstm_gat(ff, traj, epochs, batch_size, rng, key, logger, keeper,
     box_lo = jnp.asarray(all_w.min(axis=0) - 0.5)
     box_hi = jnp.asarray(all_w.max(axis=0) + 0.5)
 
+    # ONE clamped generation map, shared by the rollout and the unrolled
+    # fine-tune below (the gat/node lesson: the fine-tune only cures
+    # drift when train-time and generation-time dynamics match exactly)
+    def _gen_step(p, w):
+        last = w[-1]
+        pred = apply_batch(p, w[None])[0]
+        pred = last + jnp.clip(pred - last, -max_step, max_step)
+        pred = jnp.clip(pred, box_lo, box_hi)
+        return jnp.concatenate([w[1:], pred[None]], axis=0), pred
+
+    # unrolled fine-tune through the clamped map: the 1-step MSE above
+    # leaves slow observables (Rg) free to drift over 1000-step rollouts;
+    # backprop a short rollout against the true future frames
+    ft_w = int(os.environ.get("MDX_LSTMGAT_FT_W", 8))
+    ft_epochs = int(os.environ.get("MDX_LSTMGAT_FT_EPOCHS", 4))
+    fw0, ftg = [], []
+    if ft_epochs > 0 and ft_w > 1:
+        for t_arr in traj.trajectories:
+            for s in range(0, len(t_arr) - history - ft_w, max(1, ft_w // 2)):
+                fw0.append(t_arr[s : s + history])
+                ftg.append(t_arr[s + history : s + history + ft_w])
+    if fw0:
+        keeper.rebase()  # new loss regime: rollout MSE, not 1-step MSE
+        fw0 = np.stack(fw0).astype(np.float32)
+        ftg = np.stack(ftg).astype(np.float32)
+        ft_opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(2e-5))
+        ft_state = ft_opt.init(params)
+
+        @jax.jit
+        def ft_step(params, ft_state, w0, tgt):
+            def unroll_one(p, w):
+                _, out = jax.lax.scan(
+                    lambda ww, _: _gen_step(p, ww), w, None, length=ft_w
+                )
+                return out  # (W, N, 3)
+
+            def loss(p):
+                pred = jax.vmap(lambda w: unroll_one(p, w))(w0)
+                return jnp.mean((pred - tgt) ** 2)
+
+            val, grads = jax.value_and_grad(loss)(params)
+            updates, ft_state = ft_opt.update(grads, ft_state, params)
+            return optax.apply_updates(params, updates), ft_state, val
+
+        ft_bs = max(4, batch_size // 2)
+        for epoch in range(ft_epochs):
+            order = rng.permutation(len(fw0))
+            for s in range(0, len(order) - ft_bs + 1, ft_bs):
+                sel = order[s : s + ft_bs]
+                params, ft_state, loss = ft_step(
+                    params, ft_state, jnp.asarray(fw0[sel]),
+                    jnp.asarray(ftg[sel]),
+                )
+                i += 1
+                if i % 10 == 0:
+                    _log(
+                        logger, curves, keeper, params,
+                        epochs + epoch, i, loss, t0,
+                    )
+
     @jax.jit
     def roll(params, w0):
-        def stepf(w, _):
-            last = w[-1]
-            pred = apply_batch(params, w[None])[0]
-            pred = last + jnp.clip(pred - last, -max_step, max_step)
-            pred = jnp.clip(pred, box_lo, box_hi)
-            w = jnp.concatenate([w[1:], pred[None]], axis=0)
-            return w, pred
-
         _, out = jax.lax.scan(
-            stepf, w0, None,
+            lambda w, _: _gen_step(params, w), w0, None,
             length=int(np.mean([len(t) for t in traj.trajectories])),
         )
         return out
