@@ -79,22 +79,33 @@ def main():
             )
         )
     # flagship section: the full-representation cGAN on regenerated GBIS
-    # campaign data (runs_r3_full) — emitted from its eval.json so the
+    # campaign data — emitted from each depth-run's eval.json so the
     # table survives regeneration
-    full_ev = "runs_r3_full/cgan/eval.json"
-    if os.path.isfile(full_ev):
-        with open(full_ev) as f:
-            fm = json.load(f)
-        full_epochs = "—"
-        full_log = "runs_r3_full/cgan/train_log.csv"
-        if os.path.isfile(full_log):
-            with open(full_log) as f:
+    def _load_run(d, fam):
+        ev = os.path.join(d, fam, "eval.json")
+        if not os.path.isfile(ev):
+            return None, None
+        with open(ev) as f:
+            m = json.load(f)
+        n_ep = "—"
+        log = os.path.join(d, fam, "train_log.csv")
+        if os.path.isfile(log):
+            with open(log) as f:
                 ls = [ln.strip().split(",") for ln in f if ln.strip()]
             if len(ls) > 1:
                 # phase epoch counters reset (pretrain -> GAN): the run
                 # length is the max epoch seen across phases + 1
                 col = ls[0].index("epoch")
-                full_epochs = max(int(r[col]) for r in ls[1:]) + 1
+                n_ep = max(int(r[col]) for r in ls[1:]) + 1
+        return m, n_ep
+
+    flagship = [
+        (d, m, ep)
+        for d in ("runs_r3_full", "runs_r3_full32")
+        for m, ep in [_load_run(d, "cgan")]
+        if m is not None
+    ]
+    if flagship:
         lines += [
             "",
             "## Flagship: full-representation cGAN on the regenerated "
@@ -106,27 +117,60 @@ def main():
             "(cGAN_D_pos-2.2.4/slurm.12794887.out:13751). The TPU "
             "equivalent regenerates the campaign **in-kernel** (64 "
             "replicas x 1 ns of GB-OBC + LCPO SASA + rigid-bond Langevin "
-            "SMD, `scripts/regenerate_smd.py --gbis`, 254 s device wall) "
+            "SMD, `scripts/regenerate_smd.py --gbis`, 416 s device wall) "
             "and trains on it directly:",
             "",
             "| dataset | e2e mean err (A) | e2e max err (A) | Rg err (A) "
             "| epochs |",
             "|---|---|---|---|---|",
+        ] + [
             "| regenerated GBIS campaign, 64 reps x 1000 frames (stride "
             "10), 104 atoms | {:.3f} | {:.3f} | {:.3f} | {} |".format(
                 fm["mean_abs_error"], fm["max_abs_error"],
                 fm["rg_abs_error"], full_epochs,
-            ),
+            )
+            for _, fm, full_epochs in flagship
+        ] + [
             "",
             "Reproduce: `python -m molecular_dynamics_tpu.cli train cgan "
             "--topology example:full --data "
             "'data_r3/smd_gbis/raw-traj_rep-*.npy' --stride 10 --epochs "
-            "16 --out-dir runs_r3_full` (after `python "
-            "scripts/regenerate_smd.py --gbis --replicas 64 --out "
-            "data_r3/smd_gbis`). Round-2 state was 2.57 A after 3 "
-            "epochs; the physics-gated best-checkpoint export (lowest "
-            "informed loss) carries the eval through the noisy late-GAN "
-            "phase.",
+            "<16|32> --out-dir <runs_r3_full|runs_r3_full32>` (after "
+            "`python scripts/regenerate_smd.py --gbis --replicas 64 "
+            "--max-dump 64 --out data_r3/smd_gbis`). Round-2 state was "
+            "2.57 A after 3 epochs; the physics-gated best-checkpoint "
+            "export (lowest informed loss) carries the eval through the "
+            "noisy late-GAN phase.",
+        ]
+    # full-representation variants of the other families on the same
+    # regenerated GBIS data (runs_r3_fullfam/<family>)
+    fullfam = []
+    if os.path.isdir("runs_r3_fullfam"):
+        for fam in sorted(os.listdir("runs_r3_fullfam")):
+            m, ep = _load_run("runs_r3_fullfam", fam)
+            if m is not None:
+                fullfam.append((fam, m, ep))
+    if fullfam:
+        lines += [
+            "",
+            "## Full-representation variants (104 atoms, regenerated "
+            "GBIS data)",
+            "",
+            "The reference trains its sequence/graph families on the "
+            "40-atom backbone only; these runs train them at the full "
+            "104-atom resolution on the same regenerated GBIS campaign "
+            "the flagship uses (`--topology example:full --data "
+            "'data_r3/smd_gbis/raw-traj_rep-*.npy' --stride 10`):",
+            "",
+            "| family | e2e mean err (A) | e2e max err (A) | Rg err (A) "
+            "| epochs |",
+            "|---|---|---|---|---|",
+        ] + [
+            "| {} | {:.3f} | {:.3f} | {:.3f} | {} |".format(
+                fam, fm["mean_abs_error"], fm["max_abs_error"],
+                fm["rg_abs_error"], ep,
+            )
+            for fam, fm, ep in fullfam
         ]
     lines += [
         "",
