@@ -410,8 +410,27 @@ def _run_cgan(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
                 # the float() here is a host sync (~0.3 s/round-trip on a
                 # remote backend), so the best-checkpoint probe shares the
                 # logging cadence instead of blocking every batch
-                if float(i_loss) < best_i:
-                    best_i, best_params = float(i_loss), g_params
+                il = float(i_loss)
+                if il < best_i:
+                    best_i, best_params = il, g_params
+                elif not np.isfinite(il) or (
+                    np.isfinite(best_i) and il > 1e3 * (abs(best_i) + 1.0)
+                ):
+                    # adversarial divergence (the informed energy loss
+                    # explodes once the GAN push walks the generator off
+                    # the physical manifold, then NaNs poison every later
+                    # update): restore the physics-best generator and
+                    # fresh generator optimizers — the reference's
+                    # best-checkpoint rollback (GAN_V37/gan.py:466-469)
+                    # applied during training, not just at export. A
+                    # 32-epoch full-rep run measured NaN from epoch 8
+                    # onward without this; the rollback bounds the waste
+                    # to one probe interval.
+                    g_params = best_params
+                    g_opt, i_opt = og.init(g_params), oi.init(g_params)
+                    g_params, g_opt, i_opt = _dp_prepare(
+                        mesh, g_params, g_opt, i_opt
+                    )
                 _log(logger, curves, keeper, g_params, epoch, i, i_loss, t0)
     g_params = best_params
     t = jnp.linspace(0, 1, 20)
@@ -571,6 +590,67 @@ def _run_lstm(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
             if i % 10 == 0:
                 _log(logger, curves, keeper, params, epoch, i, loss, t0)
     from molecular_dynamics_tpu.evaluate import unwhiten
+
+    # unrolled fine-tune through the EXACT rollout map (the gat/node/
+    # lstm-gat cure): 1-step window MSE leaves slow observables free to
+    # drift over 1000-step autoregressive rollouts. The NLL variant
+    # generates by sampling its Gaussian head, so a deterministic unroll
+    # would train a different map — it keeps its 1-step NLL objective.
+    import optax
+
+    ft_w = int(os.environ.get("MDX_LSTM_FT_W", 8))
+    ft_epochs = int(os.environ.get("MDX_LSTM_FT_EPOCHS", 4))
+    if not nll and ft_epochs > 0 and ft_w > 1:
+        fw0, ftg = [], []
+        for t_arr in traj.trajectories:
+            flat = t_arr.reshape(len(t_arr), feat)
+            for s in range(0, len(flat) - history - ft_w, max(1, ft_w // 2)):
+                fw0.append(flat[s : s + history])
+                ftg.append(flat[s + history : s + history + ft_w])
+        if fw0:
+            keeper.rebase()  # rollout-MSE regime, not 1-step window MSE
+            fw0 = np.stack(fw0).astype(np.float32)
+            ftg = np.stack(ftg).astype(np.float32)
+            ft_opt = optax.chain(
+                optax.clip_by_global_norm(1.0), optax.adam(2e-5)
+            )
+            ft_state = ft_opt.init(params)
+
+            @jax.jit
+            def ft_step(params, ft_state, w0b, tgt):
+                def unroll_one(p, w):
+                    def body(ww, _):
+                        pred = model.apply(p, ww[None])[0]
+                        return jnp.concatenate(
+                            [ww[1:], pred[None]], axis=0
+                        ), pred
+
+                    _, out = jax.lax.scan(body, w, None, length=ft_w)
+                    return out  # (W, feat) — same map as the rollout
+
+                def loss(p):
+                    pred = jax.vmap(lambda w: unroll_one(p, w))(w0b)
+                    return jnp.mean((pred - tgt) ** 2)
+
+                val, grads = jax.value_and_grad(loss)(params)
+                updates, ft_state = ft_opt.update(grads, ft_state, params)
+                return optax.apply_updates(params, updates), ft_state, val
+
+            ft_bs = max(4, batch_size // 2)
+            for epoch in range(ft_epochs):
+                order = rng.permutation(len(fw0))
+                for s in range(0, len(order) - ft_bs + 1, ft_bs):
+                    sel = order[s : s + ft_bs]
+                    params, ft_state, loss = ft_step(
+                        params, ft_state, jnp.asarray(fw0[sel]),
+                        jnp.asarray(ftg[sel]),
+                    )
+                    i += 1
+                    if i % 10 == 0:
+                        _log(
+                            logger, curves, keeper, params,
+                            epochs + epoch, i, loss, t0,
+                        )
 
     w0 = jnp.asarray(
         traj.trajectories[0][:history].reshape(history, feat)
@@ -1483,8 +1563,13 @@ def _run_lstm_gat(ff, traj, epochs, batch_size, rng, key, logger, keeper,
     # unrolled fine-tune through the clamped map: the 1-step MSE above
     # leaves slow observables (Rg) free to drift over 1000-step rollouts;
     # backprop a short rollout against the true future frames
+    # recipe (measured on the bootstrap dataset): SHORT base phase + deep
+    # fine-tune. Base epochs overfit the 1-step map at the rollout's
+    # expense: e2e 0.65 A @ 2 epochs ft8 / 0.75 @ 2 ft4 / 1.41 @ 4 /
+    # 1.70 @ 6 / 1.86 @ 16 (Rg improves mildly with base epochs —
+    # 0.36/0.56/0.74/0.22/0.15 — but never enough to justify the e2e hit)
     ft_w = int(os.environ.get("MDX_LSTMGAT_FT_W", 8))
-    ft_epochs = int(os.environ.get("MDX_LSTMGAT_FT_EPOCHS", 4))
+    ft_epochs = int(os.environ.get("MDX_LSTMGAT_FT_EPOCHS", 8))
     fw0, ftg = [], []
     if ft_epochs > 0 and ft_w > 1:
         for t_arr in traj.trajectories:
