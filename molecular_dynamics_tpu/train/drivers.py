@@ -729,16 +729,35 @@ def _run_seq2seq(ff, traj, epochs, batch_size, rng, key, logger, keeper,
                 i += 1
                 if i % 10 == 0:
                     _log(logger, curves, keeper, params, epoch, i, loss, t0)
-    # decode a future sequence from a data window (the reference's
-    # non-autoregressive test mode, Seq2Seq_V1/seq2seq.py:150-256)
+    # generate by CHAINING decode_len-step decodes autoregressively (the
+    # reference's autoregressive test mode, Seq2Seq_V1/seq2seq.py:150-256):
+    # each decode runs at the exact horizon the decoder was trained on.
+    # The previous single non-autoregressive decode of ~1000 steps ran the
+    # decoder 200x past its training horizon (e2e err 1.81 A).
     from molecular_dynamics_tpu.evaluate import unwhiten
 
     roll_len = int(np.mean([len(t) for t in traj.trajectories]))
+
+    @jax.jit
+    def roll_chain(params, w0, key):
+        def body(carry, _):
+            w, k = carry
+            k, sub = jax.random.split(k)
+            seg = model.apply(params, w[None], sub, decode_len)[0]
+            w = jnp.concatenate([w[decode_len:], seg], axis=0)
+            return (w, k), seg
+
+        (_, _), segs = jax.lax.scan(
+            body, (w0, key), None,
+            length=max(1, roll_len // decode_len),
+        )
+        return segs.reshape(-1, feat)
+
     rolls = []
     for t_arr in traj.trajectories[:8]:
         w0 = jnp.asarray(t_arr[:history].reshape(history, feat))
         key, sub = jax.random.split(key)
-        gen = model.apply(params, w0[None], sub, roll_len)[0]
+        gen = roll_chain(params, w0, sub)
         rolls.append(
             unwhiten(np.asarray(gen).reshape(-1, n, 3), w_mean, w_std)
         )
@@ -1459,12 +1478,31 @@ def _run_seq2seq_gan(ff, traj, epochs, batch_size, rng, key, logger, keeper,
                 i += 1
                 if i % 10 == 0:
                     _log(logger, curves, keeper, g_params, epoch, i, g_loss, t0)
+    # chained decode_len-step decodes (see _run_seq2seq: each decode runs
+    # at the trained horizon; the critic also only ever saw
+    # decode_len-step rollouts)
     roll_len = int(np.mean([len(t) for t in traj.trajectories]))
+
+    @jax.jit
+    def roll_chain(params, w0, key):
+        def body(carry, _):
+            w, k = carry
+            k, sub = jax.random.split(k)
+            seg = gen.apply(params, w[None], sub, decode_len)[0]
+            w = jnp.concatenate([w[decode_len:], seg], axis=0)
+            return (w, k), seg
+
+        (_, _), segs = jax.lax.scan(
+            body, (w0, key), None,
+            length=max(1, roll_len // decode_len),
+        )
+        return segs.reshape(-1, feat)
+
     rolls = []
     for t_arr in traj.trajectories[:8]:
         w0 = jnp.asarray(t_arr[:history].reshape(history, feat))
         key, sub = jax.random.split(key)
-        gen_seq = gen.apply(g_params, w0[None], sub, roll_len)[0]
+        gen_seq = roll_chain(g_params, w0, sub)
         rolls.append(
             unwhiten(np.asarray(gen_seq).reshape(-1, n, 3), w_mean, w_std)
         )
