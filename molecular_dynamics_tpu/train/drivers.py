@@ -536,6 +536,79 @@ def _run_hnn(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     return params
 
 
+def _window_rollout_finetune(model, params, traj, history, feat, rng, i, t0,
+                             epochs, batch_size, logger, curves, keeper,
+                             env_prefix, ft_w_default=8,
+                             ft_epochs_default=4):
+    """Unrolled fine-tune through the exact window-shift rollout map.
+
+    Shared by every family that trains 1-step window MSE but generates by
+    `autoregressive_rollout` (lstm, transformer): backprop a short
+    rollout against the true future frames so compounding drift is
+    penalized directly (the gat/node/lstm-gat cure). ``env_prefix`` keys
+    the ``<PREFIX>_FT_W`` / ``<PREFIX>_FT_EPOCHS`` recipe knobs.
+    Returns (params, i).
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    ft_w = int(os.environ.get(env_prefix + "_FT_W", ft_w_default))
+    ft_epochs = int(
+        os.environ.get(env_prefix + "_FT_EPOCHS", ft_epochs_default)
+    )
+    if ft_epochs <= 0 or ft_w <= 1:
+        return params, i
+    fw0, ftg = [], []
+    for t_arr in traj.trajectories:
+        flat = t_arr.reshape(len(t_arr), feat)
+        for s in range(0, len(flat) - history - ft_w, max(1, ft_w // 2)):
+            fw0.append(flat[s : s + history])
+            ftg.append(flat[s + history : s + history + ft_w])
+    if not fw0:
+        return params, i
+    keeper.rebase()  # rollout-MSE regime, not 1-step window MSE
+    fw0 = np.stack(fw0).astype(np.float32)
+    ftg = np.stack(ftg).astype(np.float32)
+    ft_opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(2e-5))
+    ft_state = ft_opt.init(params)
+
+    @jax.jit
+    def ft_step(params, ft_state, w0b, tgt):
+        def unroll_one(p, w):
+            def body(ww, _):
+                pred = model.apply(p, ww[None])[0]
+                return jnp.concatenate([ww[1:], pred[None]], axis=0), pred
+
+            _, out = jax.lax.scan(body, w, None, length=ft_w)
+            return out  # (W, feat) — same map as autoregressive_rollout
+
+        def loss(p):
+            pred = jax.vmap(lambda w: unroll_one(p, w))(w0b)
+            return jnp.mean((pred - tgt) ** 2)
+
+        val, grads = jax.value_and_grad(loss)(params)
+        updates, ft_state = ft_opt.update(grads, ft_state, params)
+        return optax.apply_updates(params, updates), ft_state, val
+
+    ft_bs = max(4, batch_size // 2)
+    for epoch in range(ft_epochs):
+        order = rng.permutation(len(fw0))
+        for s in range(0, len(order) - ft_bs + 1, ft_bs):
+            sel = order[s : s + ft_bs]
+            params, ft_state, loss = ft_step(
+                params, ft_state, jnp.asarray(fw0[sel]),
+                jnp.asarray(ftg[sel]),
+            )
+            i += 1
+            if i % 10 == 0:
+                _log(
+                    logger, curves, keeper, params, epochs + epoch, i,
+                    loss, t0,
+                )
+    return params, i
+
+
 def _run_lstm(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
               out_dir, names, top, nll=False, mesh=None):
     import jax
@@ -596,61 +669,11 @@ def _run_lstm(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     # drift over 1000-step autoregressive rollouts. The NLL variant
     # generates by sampling its Gaussian head, so a deterministic unroll
     # would train a different map — it keeps its 1-step NLL objective.
-    import optax
-
-    ft_w = int(os.environ.get("MDX_LSTM_FT_W", 8))
-    ft_epochs = int(os.environ.get("MDX_LSTM_FT_EPOCHS", 4))
-    if not nll and ft_epochs > 0 and ft_w > 1:
-        fw0, ftg = [], []
-        for t_arr in traj.trajectories:
-            flat = t_arr.reshape(len(t_arr), feat)
-            for s in range(0, len(flat) - history - ft_w, max(1, ft_w // 2)):
-                fw0.append(flat[s : s + history])
-                ftg.append(flat[s + history : s + history + ft_w])
-        if fw0:
-            keeper.rebase()  # rollout-MSE regime, not 1-step window MSE
-            fw0 = np.stack(fw0).astype(np.float32)
-            ftg = np.stack(ftg).astype(np.float32)
-            ft_opt = optax.chain(
-                optax.clip_by_global_norm(1.0), optax.adam(2e-5)
-            )
-            ft_state = ft_opt.init(params)
-
-            @jax.jit
-            def ft_step(params, ft_state, w0b, tgt):
-                def unroll_one(p, w):
-                    def body(ww, _):
-                        pred = model.apply(p, ww[None])[0]
-                        return jnp.concatenate(
-                            [ww[1:], pred[None]], axis=0
-                        ), pred
-
-                    _, out = jax.lax.scan(body, w, None, length=ft_w)
-                    return out  # (W, feat) — same map as the rollout
-
-                def loss(p):
-                    pred = jax.vmap(lambda w: unroll_one(p, w))(w0b)
-                    return jnp.mean((pred - tgt) ** 2)
-
-                val, grads = jax.value_and_grad(loss)(params)
-                updates, ft_state = ft_opt.update(grads, ft_state, params)
-                return optax.apply_updates(params, updates), ft_state, val
-
-            ft_bs = max(4, batch_size // 2)
-            for epoch in range(ft_epochs):
-                order = rng.permutation(len(fw0))
-                for s in range(0, len(order) - ft_bs + 1, ft_bs):
-                    sel = order[s : s + ft_bs]
-                    params, ft_state, loss = ft_step(
-                        params, ft_state, jnp.asarray(fw0[sel]),
-                        jnp.asarray(ftg[sel]),
-                    )
-                    i += 1
-                    if i % 10 == 0:
-                        _log(
-                            logger, curves, keeper, params,
-                            epochs + epoch, i, loss, t0,
-                        )
+    if not nll:
+        params, i = _window_rollout_finetune(
+            model, params, traj, history, feat, rng, i, t0, epochs,
+            batch_size, logger, curves, keeper, env_prefix="MDX_LSTM",
+        )
 
     w0 = jnp.asarray(
         traj.trajectories[0][:history].reshape(history, feat)
@@ -900,6 +923,12 @@ def _run_transformer(ff, traj, epochs, batch_size, rng, key, logger, keeper,
                 _log(logger, curves, keeper, params, epoch, i, loss, t0)
     from molecular_dynamics_tpu.evaluate import unwhiten
     from molecular_dynamics_tpu.train.seq import autoregressive_rollout
+
+    # same cure as lstm: fine-tune through the rollout map it generates with
+    params, i = _window_rollout_finetune(
+        model, params, traj, history, feat, rng, i, t0, epochs,
+        batch_size, logger, curves, keeper, env_prefix="MDX_TRANSFORMER",
+    )
 
     roll_len = int(np.mean([len(t) for t in traj.trajectories]))
     rolls = []
