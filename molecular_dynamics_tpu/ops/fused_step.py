@@ -51,6 +51,12 @@ _GB_UNROLL = 1
 #: pass's unroll was worth 0.81 -> 1.03 M agg steps/s; the Born body is
 #: ~4x heavier, so compile cost is the tradeoff — knob for A/B)
 _GB_STATIC_BORN = os.environ.get("MDX_GB_STATIC_BORN", "1") == "1"
+#: perf-ablation knob (debug only, physics-breaking; parity tests run ""):
+#: "noborn" replaces the Born/HCT pass with constant radii (and skips the
+#: chain pass, which consumes its cached dI rows), "nochain" skips only
+#: the descreening chain-rule pass, "nostill" drops the Still pair force
+#: from the main ring loop — isolates each GB sub-pass's step cost.
+_GB_ABLATE = os.environ.get("MDX_GB_ABLATE", "")
 
 _PI = 3.14159265358979
 _HALF_PI = 1.5707963267949
@@ -174,22 +180,27 @@ def _hct_pair(d, dinv, rho_i, rho_inv_i, s_j, live, deriv: bool):
     same function jax.grad of the composed path produces a.e.
     """
     up = d + s_j
-    ad = jnp.abs(d - s_j)
+    dm = d - s_j
+    ad = jnp.abs(dm)
     use_rho = ad < rho_i
     lo = jnp.where(use_rho, rho_i, ad)
     contrib = live & (rho_i < up)
     up_s = jnp.where(contrib, up, 1.0)
     lo_s = jnp.where(contrib, lo, 1.0)
-    ui = 1.0 / up_s
-    li = 1.0 / lo_s
+    # one reciprocal feeds both bounds: 1/lo = (1/(lo*up))*up etc. —
+    # reciprocals are multi-cycle on the VPU, multiplies are not
+    pr = 1.0 / (lo_s * up_s)
+    ui = pr * lo_s
+    li = pr * up_s
     s2d = s_j * s_j * dinv
     lnlu = jnp.log(lo_s * ui)
+    half_ln_dinv = 0.5 * lnlu * dinv
     inside = contrib & (rho_i < s_j - d)
-    integral = (
-        li - ui
-        + 0.25 * (d - s2d) * (ui * ui - li * li)
-        + 0.5 * lnlu * dinv
-    )
+    ui2 = ui * ui
+    li2 = li * li
+    dsum = ui2 - li2
+    dd = d - s2d
+    integral = li - ui + 0.25 * dd * dsum + half_ln_dinv
     integral = integral + jnp.where(
         inside, 2.0 * (rho_inv_i - li), 0.0
     )
@@ -197,17 +208,17 @@ def _hct_pair(d, dinv, rho_i, rho_inv_i, s_j, live, deriv: bool):
     if not deriv:
         return integral, None
     lop = jnp.where(
-        use_rho, 0.0, jnp.where(d > s_j, 1.0, -1.0)
+        use_rho, 0.0, jnp.where(dm > 0.0, 1.0, -1.0)
     )  # dlo/dd
+    w = lop * li  # shared across the lop*li / lop*li^2 / lop*li^3 terms
+    wli = w * li
     dI = (
-        -lop * li * li
-        + ui * ui
-        + 0.25 * (1.0 + s2d * dinv) * (ui * ui - li * li)
-        + 0.5 * (d - s2d) * (lop * li * li * li - ui * ui * ui)
-        + 0.5 * (lop * li - ui) * dinv
-        - 0.5 * lnlu * dinv * dinv
+        ui2 - wli
+        + 0.25 * (1.0 + s2d * dinv) * dsum
+        + 0.5 * dd * (wli * li - ui2 * ui)
+        + (0.5 * (w - ui) - half_ln_dinv) * dinv
     )
-    dI = dI + jnp.where(inside, 2.0 * lop * li * li, 0.0)
+    dI = dI + jnp.where(inside, 2.0 * wli, 0.0)
     dI = jnp.where(contrib, dI, 0.0)
     return integral, dI
 
@@ -1127,23 +1138,36 @@ def make_fused_campaign_op(
             if use_gb:
                 # Born radii first; the Still pair force then rides the
                 # main ring loop's geometry (one sweep instead of two)
-                born, d_born_dpsi = born_pass(x, y, z)
-                fx, fy, fz, _, der = ring_pair_forces(
-                    x, y, z, pair_tabs,
-                    gb={
-                        "born": born,
-                        "uprime": _gb_uprime,
-                        "qq_t": gqq_full,
-                    },
-                    **ring_kw,
-                )
+                if _GB_ABLATE == "noborn":
+                    born = grho + jnp.zeros_like(x)
+                    d_born_dpsi = jnp.zeros_like(x)
+                else:
+                    born, d_born_dpsi = born_pass(x, y, z)
+                if _GB_ABLATE == "nostill":
+                    fx, fy, fz, _ = ring_pair_forces(
+                        x, y, z, pair_tabs, **ring_kw
+                    )
+                    der = jnp.zeros_like(x)
+                else:
+                    fx, fy, fz, _, der = ring_pair_forces(
+                        x, y, z, pair_tabs,
+                        gb={
+                            "born": born,
+                            "uprime": _gb_uprime,
+                            "qq_t": gqq_full,
+                        },
+                        **ring_kw,
+                    )
                 # Born self terms E_ii = -1/2 ke q_i^2 u(R_i)
                 der = der - 0.5 * gqs * _gb_uprime(born, 1.0 / born)
                 ce = der * d_born_dpsi * (0.5 * grho)
-                cfx, cfy, cfz = gb_chain_pass(x, y, z, ce)
-                fx = fx + cfx
-                fy = fy + cfy
-                fz = fz + cfz
+                # "noborn" must skip the chain too: it reads the Born
+                # pass's VMEM-cached dI rows (uninitialized otherwise)
+                if _GB_ABLATE not in ("nochain", "noborn"):
+                    cfx, cfy, cfz = gb_chain_pass(x, y, z, ce)
+                    fx = fx + cfx
+                    fy = fy + cfy
+                    fz = fz + cfz
             else:
                 fx, fy, fz, _ = ring_pair_forces(
                     x, y, z, pair_tabs, **ring_kw
