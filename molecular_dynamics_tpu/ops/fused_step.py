@@ -57,6 +57,14 @@ _GB_STATIC_BORN = os.environ.get("MDX_GB_STATIC_BORN", "1") == "1"
 #: the descreening chain-rule pass, "nostill" drops the Still pair force
 #: from the main ring loop — isolates each GB sub-pass's step cost.
 _GB_ABLATE = os.environ.get("MDX_GB_ABLATE", "")
+#: chain-pass layout. "mac" (default): the Born pass caches the scalar
+#: mrow*dI*rinv per shift and the chain pass recomputes dx/dy/dz from
+#: rolled coordinates. "prod": the Born pass caches the three dI·dx
+#: force-direction products per integral direction (6 scratch rows, 3x
+#: the VMEM) and the chain pass drops its coordinate rolls entirely —
+#: trades scratch traffic for the cross-lane shuffle port. Same math,
+#: parity-pinned either way (tests/test_fused_gb.py runs both).
+_GB_CHAIN_PROD = os.environ.get("MDX_GB_CHAIN", "mac") == "prod"
 
 _PI = 3.14159265358979
 _HALF_PI = 1.5707963267949
@@ -169,6 +177,21 @@ def _torsion_tables(ff: FFParams, n_pad: int):
     )
 
 
+def _hct_bounds(d, s_j, rho_i, live):
+    """Integration bounds of the HCT descreening integral for one
+    direction: lo/up sanitized to 1 on dead pairs, plus the masks the
+    tail evaluation needs."""
+    up = d + s_j
+    dm = d - s_j
+    ad = jnp.abs(dm)
+    use_rho = ad < rho_i
+    lo = jnp.where(use_rho, rho_i, ad)
+    contrib = live & (rho_i < up)
+    up_s = jnp.where(contrib, up, 1.0)
+    lo_s = jnp.where(contrib, lo, 1.0)
+    return lo_s, up_s, contrib, use_rho, dm
+
+
 def _hct_pair(d, dinv, rho_i, rho_inv_i, s_j, live, deriv: bool):
     """HCT pairwise-descreening integral I(d) (and optionally dI/dd).
 
@@ -179,23 +202,54 @@ def _hct_pair(d, dinv, rho_i, rho_inv_i, s_j, live, deriv: bool):
     derivative is the exact piecewise-analytic d/dd of the integral — the
     same function jax.grad of the composed path produces a.e.
     """
-    up = d + s_j
-    dm = d - s_j
-    ad = jnp.abs(dm)
-    use_rho = ad < rho_i
-    lo = jnp.where(use_rho, rho_i, ad)
-    contrib = live & (rho_i < up)
-    up_s = jnp.where(contrib, up, 1.0)
-    lo_s = jnp.where(contrib, lo, 1.0)
+    lo_s, up_s, contrib, use_rho, dm = _hct_bounds(d, s_j, rho_i, live)
     # one reciprocal feeds both bounds: 1/lo = (1/(lo*up))*up etc. —
     # reciprocals are multi-cycle on the VPU, multiplies are not
     pr = 1.0 / (lo_s * up_s)
+    return _hct_tail(
+        d, dinv, rho_i, rho_inv_i, s_j, pr, lo_s, up_s, contrib, use_rho,
+        dm, deriv,
+    )
+
+
+def _hct_pair_both(d, dinv, rho_i, rho_inv_i, s_i,
+                   rho_j, rho_inv_j, s_j, live, deriv: bool):
+    """Both HCT descreening directions of one pair — forward (atom i
+    descreened by j's scaled sphere ``s_j``) and reverse (j descreened by
+    ``s_i``) — sharing ONE reciprocal: 1/(lo_f·up_f) and 1/(lo_r·up_r)
+    are recovered from 1/(a·b) with two multiplies, trading a multi-cycle
+    VPU reciprocal for three single-cycle multiplies (ulp-level rounding
+    difference only; parity vs two ``_hct_pair`` calls is pinned in
+    tests/test_fused_gb.py).
+
+    Returns ``(i_f, di_f, i_r, di_r)`` (the d-terms are None without
+    ``deriv``).
+    """
+    lo_f, up_f, c_f, ur_f, dm_f = _hct_bounds(d, s_j, rho_i, live)
+    lo_r, up_r, c_r, ur_r, dm_r = _hct_bounds(d, s_i, rho_j, live)
+    a = lo_f * up_f
+    b = lo_r * up_r
+    inv = 1.0 / (a * b)
+    i_f, di_f = _hct_tail(
+        d, dinv, rho_i, rho_inv_i, s_j, inv * b, lo_f, up_f, c_f, ur_f,
+        dm_f, deriv,
+    )
+    i_r, di_r = _hct_tail(
+        d, dinv, rho_j, rho_inv_j, s_i, inv * a, lo_r, up_r, c_r, ur_r,
+        dm_r, deriv,
+    )
+    return i_f, di_f, i_r, di_r
+
+
+def _hct_tail(d, dinv, rho_i, rho_inv_i, s_j, pr, lo_s, up_s, contrib,
+              use_rho, dm, deriv: bool):
     ui = pr * lo_s
     li = pr * up_s
     s2d = s_j * s_j * dinv
     lnlu = jnp.log(lo_s * ui)
     half_ln_dinv = 0.5 * lnlu * dinv
-    inside = contrib & (rho_i < s_j - d)
+    # rho_i < s_j - d  ⟺  dm < -rho_i  (reuses the bounds' d - s_j)
+    inside = contrib & (dm < -rho_i)
     ui2 = ui * ui
     li2 = li * li
     dsum = ui2 - li2
@@ -627,8 +681,15 @@ def make_fused_campaign_op(
         if use_gb:
             # per-shift HCT-derivative cache filled by the Born pass and
             # consumed by the (now multiply-accumulate-only) chain pass
-            gdf_ref, gdr_ref = scratch[:2]
-            scratch = scratch[2:]
+            if _GB_CHAIN_PROD:
+                (
+                    gdfx_ref, gdfy_ref, gdfz_ref,
+                    gdrx_ref, gdry_ref, gdrz_ref,
+                ) = scratch[:6]
+                scratch = scratch[6:]
+            else:
+                gdf_ref, gdr_ref = scratch[:2]
+                scratch = scratch[2:]
         if use_sasa:
             # VMEM scratch for the 8-row sub-chunk loop of the dense pass
             (
@@ -764,16 +825,24 @@ def make_fused_campaign_op(
                     d2s = jnp.where(live, d2, 1.0)
                     dinv = jax.lax.rsqrt(d2s)
                     d = d2s * dinv
-                    i_f, di_f = _hct_pair(
-                        d, dinv, grho, grhoi, s_j, live, True
-                    )
-                    i_r, di_r = _hct_pair(
-                        d, dinv, rho_j, rhoi_j, gsrow, live, True
+                    i_f, di_f, i_r, di_r = _hct_pair_both(
+                        d, dinv, grho, grhoi, gsrow,
+                        rho_j, rhoi_j, s_j, live, True,
                     )
                     row = pl.ds(pl.multiple_of(i * br, br), br)
                     mr = mrow * dinv
-                    gdf_ref[row, :] = mr * di_f
-                    gdr_ref[row, :] = mr * di_r
+                    if _GB_CHAIN_PROD:
+                        uf = mr * di_f
+                        ur = mr * di_r
+                        gdfx_ref[row, :] = uf * dx
+                        gdfy_ref[row, :] = uf * dy
+                        gdfz_ref[row, :] = uf * dz
+                        gdrx_ref[row, :] = ur * dx
+                        gdry_ref[row, :] = ur * dy
+                        gdrz_ref[row, :] = ur * dz
+                    else:
+                        gdf_ref[row, :] = mr * di_f
+                        gdr_ref[row, :] = mr * di_r
                     sum_i = sum_i + mrow * i_f
                     rev = pltpu.roll(rev, one, 1) + mrow * i_r
                     return (
@@ -843,8 +912,39 @@ def make_fused_campaign_op(
                     coeff = ce * u_f + ces * u_r
                     return coeff * dx, coeff * dy, coeff * dz
 
+                def prod_term(row, ces):
+                    # cached dI·dx products: no coordinate recompute, no
+                    # gather-side coordinate rolls — only the partner
+                    # cotangent ``ces`` advances around the ring
+                    return (
+                        ce * gdfx_ref[row, :] + ces * gdrx_ref[row, :],
+                        ce * gdfy_ref[row, :] + ces * gdry_ref[row, :],
+                        ce * gdfz_ref[row, :] + ces * gdrz_ref[row, :],
+                    )
+
                 z0 = jnp.zeros_like(x)
-                if interpret:
+                if interpret and _GB_CHAIN_PROD:
+                    def body(i, carry):
+                        ces, fx, fy, fz, ax, ay, az = carry
+                        row = pl.ds(pl.multiple_of(i * br, br), br)
+                        cx, cy, cz = prod_term(row, ces)
+                        return (
+                            pltpu.roll(ces, one, 1),
+                            fx - cx, fy - cy, fz - cz,
+                            pltpu.roll(ax, one, 1) + cx,
+                            pltpu.roll(ay, one, 1) + cy,
+                            pltpu.roll(az, one, 1) + cz,
+                        )
+
+                    (_, fx, fy, fz, ax, ay, az) = jax.lax.fori_loop(
+                        0, n_shifts, body,
+                        (
+                            pltpu.roll(ce, ring_start, 1),
+                            z0, z0, z0, z0, z0, z0,
+                        ),
+                        unroll=_GB_UNROLL,
+                    )
+                elif interpret:
                     # fori_loop + dynamic row loads: one traced body keeps
                     # interpret-mode (CPU test) compiles fast
                     def body(i, carry):
@@ -876,6 +976,24 @@ def make_fused_campaign_op(
                         ),
                         unroll=_GB_UNROLL,
                     )
+                elif _GB_CHAIN_PROD:
+                    # static unroll, cached-products layout: 4 rolls per
+                    # shift instead of 7
+                    ces = pltpu.roll(ce, ring_start, 1)
+                    fx, fy, fz = z0, z0, z0
+                    ax, ay, az = z0, z0, z0
+                    for i in range(n_shifts):
+                        cx, cy, cz = prod_term(
+                            slice(i * br, (i + 1) * br), ces
+                        )
+                        fx = fx - cx
+                        fy = fy - cy
+                        fz = fz - cz
+                        ax = pltpu.roll(ax, one, 1) + cx
+                        ay = pltpu.roll(ay, one, 1) + cy
+                        az = pltpu.roll(az, one, 1) + cz
+                        if i < n_shifts - 1:
+                            ces = pltpu.roll(ces, one, 1)
                 else:
                     # static full unroll for Mosaic: the body is ~15 vector
                     # ops, so 64 shifts are cheap to compile and drop the
@@ -1441,7 +1559,7 @@ def make_fused_campaign_op(
             # directions): ~2 x n_shifts x block_r x n_pad x 4B
             scratch_shapes += [
                 pltpu.VMEM((n_shifts * block_r, n_pad), jnp.float32)
-            ] * 2
+            ] * (6 if _GB_CHAIN_PROD else 2)
         if use_sasa:
             scratch_shapes += [
                 pltpu.VMEM(

@@ -21,6 +21,7 @@ from molecular_dynamics_tpu import units
 from molecular_dynamics_tpu.energy import GBIS_POLAR_CONFIG
 from molecular_dynamics_tpu.ops.fused_step import (
     _hct_pair,
+    _hct_pair_both,
     make_fused_campaign_op,
 )
 
@@ -78,6 +79,36 @@ class TestHCTPair:
         np.testing.assert_allclose(
             np.asarray(born), np.asarray(ref), rtol=5e-6
         )
+
+    def test_both_directions_match_two_single_calls(self, gb_system):
+        """_hct_pair_both (one shared reciprocal for the forward/reverse
+        descreening directions) reproduces two _hct_pair calls to the f32
+        rounding floor on real decaalanine geometry, including dead pairs."""
+        from molecular_dynamics_tpu.solvent import GB_OFFSET
+
+        ff, pos = gb_system
+        pos = pos.astype(jnp.float32)
+        n = ff.n_atoms
+        radii = jnp.asarray(ff.gb_radii, jnp.float32)
+        rho = radii - GB_OFFSET
+        s = jnp.asarray(ff.gb_screen, jnp.float32) * rho
+        delta = pos[:, None, :] - pos[None, :, :]
+        off = jnp.asarray(~np.eye(n, dtype=bool))
+        d2 = jnp.sum(delta * delta, axis=-1)
+        d = jnp.sqrt(jnp.where(off, d2, 1.0))
+        dinv = 1.0 / d
+        rho_i, rhoi_i, s_i = rho[:, None], (1.0 / rho)[:, None], s[:, None]
+        rho_j, rhoi_j, s_j = rho[None, :], (1.0 / rho)[None, :], s[None, :]
+        i_f, di_f, i_r, di_r = _hct_pair_both(
+            d, dinv, rho_i, rhoi_i, s_i, rho_j, rhoi_j, s_j, off, True
+        )
+        ref_f, ref_df = _hct_pair(d, dinv, rho_i, rhoi_i, s_j, off, True)
+        ref_r, ref_dr = _hct_pair(d, dinv, rho_j, rhoi_j, s_i, off, True)
+        for got, ref in ((i_f, ref_f), (di_f, ref_df),
+                         (i_r, ref_r), (di_r, ref_dr)):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=2e-6, atol=2e-7
+            )
 
     def test_derivative_matches_autodiff(self):
         """The hand-rolled dI/dd equals jax.grad of the integral across all
@@ -151,6 +182,42 @@ class TestFusedGBCampaign:
         np.testing.assert_allclose(
             np.asarray(f1), np.asarray(f_new), atol=0.15
         )
+
+    def test_chain_prod_layout_matches_mac(self, gb_system, monkeypatch):
+        """The cached-products chain layout (MDX_GB_CHAIN=prod: Born pass
+        stores dI·dx per direction, chain pass drops its coordinate rolls)
+        produces the same step as the default scalar-cache MAC layout to
+        the f32 rounding floor."""
+        from molecular_dynamics_tpu.ops import fused_step
+
+        ff, pos = gb_system
+        n = ff.n_atoms
+        kw = dict(
+            n_inner=2, dt_fs=1.0, temperature=0.0, gamma_ps=1.0,
+            cutoff=GBIS_POLAR_CONFIG.cutoff,
+            switch_dist=GBIS_POLAR_CONFIG.switch_dist,
+            rfa=GBIS_POLAR_CONFIG.rfa,
+            solvent_dielectric=GBIS_POLAR_CONFIG.solvent_dielectric,
+            gb=True,
+            ion_concentration=GBIS_POLAR_CONFIG.ion_concentration,
+            block_r=8, interpret=True,
+        )
+        vel = maxwell_boltzmann(jax.random.PRNGKey(0), ff.masses, 300.0)
+        R = 4
+        pos_b = jnp.broadcast_to(pos, (R, n, 3)).astype(jnp.float32)
+        vel_b = jnp.broadcast_to(vel, (R, n, 3)).astype(jnp.float32)
+        f0 = jnp.zeros_like(pos_b)
+        outs = {}
+        for prod in (False, True):
+            monkeypatch.setattr(fused_step, "_GB_CHAIN_PROD", prod)
+            adv = make_fused_campaign_op(ff, **kw)
+            outs[prod] = jax.jit(
+                lambda a, b, c: adv(a, b, c, jnp.int32(0), jnp.int32(1))
+            )(pos_b, vel_b, f0)
+        for a, b in zip(outs[False], outs[True]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-5
+            )
 
     def test_single_step_matches_composed_with_sasa(self, gb_system):
         """Full GBIS physics (gb + in-kernel dense LCPO SASA) == composed
