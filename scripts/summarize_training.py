@@ -160,7 +160,17 @@ def main():
             "40-atom backbone only; these runs train them at the full "
             "104-atom resolution on the same regenerated GBIS campaign "
             "the flagship uses (`--topology example:full --data "
-            "'data_r3/smd_gbis/raw-traj_rep-*.npy' --stride 10`):",
+            "'data_r3/smd_gbis/raw-traj_rep-*.npy' --stride 10`). "
+            "Measured finding: the *time-conditioned* generators "
+            "(pretrain decoder, flagship cGAN) hold their backbone-level "
+            "quality at full resolution, while the *autoregressive* "
+            "families degrade several-fold — with hydrogens/sidechains in "
+            "the state, 1-step prediction error compounds much faster "
+            "over the 1000-step rollout than on the 40-atom backbone "
+            "(same recipes, incl. the unrolled fine-tune). The reference "
+            "sidesteps this by never running its sequence models above "
+            "backbone resolution; the honest numbers at full "
+            "representation are:",
             "",
             "| family | e2e mean err (A) | e2e max err (A) | Rg err (A) "
             "| epochs |",
