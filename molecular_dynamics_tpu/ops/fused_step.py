@@ -887,10 +887,13 @@ def make_fused_campaign_op(
                 psi = 0.5 * grho * sum_i
                 h = psi * (obc_a + psi * (-obc_b + obc_g * psi))
                 th = jnp.tanh(h)
-                born = 1.0 / (grhoi - th * gradi)
+                born_inv = grhoi - th * gradi
+                born = 1.0 / born_inv
                 hp = obc_a + psi * (-2.0 * obc_b + 3.0 * obc_g * psi)
                 d_born_dpsi = born * born * (1.0 - th * th) * hp * gradi
-                return born, d_born_dpsi
+                # born_inv rides along for free (pre-reciprocal OBC form):
+                # the Still term turns its three divisions into multiplies
+                return born, born_inv, d_born_dpsi
 
             def _gb_uprime(f, finv):
                 # d/df of u(f) = (1 - exp(-kappa f)/eps_s)/f  [x ELEC via qq]
@@ -1258,9 +1261,10 @@ def make_fused_campaign_op(
                 # main ring loop's geometry (one sweep instead of two)
                 if _GB_ABLATE == "noborn":
                     born = grho + jnp.zeros_like(x)
+                    born_inv = 1.0 / born
                     d_born_dpsi = jnp.zeros_like(x)
                 else:
-                    born, d_born_dpsi = born_pass(x, y, z)
+                    born, born_inv, d_born_dpsi = born_pass(x, y, z)
                 if _GB_ABLATE == "nostill":
                     fx, fy, fz, _ = ring_pair_forces(
                         x, y, z, pair_tabs, **ring_kw
@@ -1271,13 +1275,14 @@ def make_fused_campaign_op(
                         x, y, z, pair_tabs,
                         gb={
                             "born": born,
+                            "born_inv": born_inv,
                             "uprime": _gb_uprime,
                             "qq_t": gqq_full,
                         },
                         **ring_kw,
                     )
                 # Born self terms E_ii = -1/2 ke q_i^2 u(R_i)
-                der = der - 0.5 * gqs * _gb_uprime(born, 1.0 / born)
+                der = der - 0.5 * gqs * _gb_uprime(born, born_inv)
                 ce = der * d_born_dpsi * (0.5 * grho)
                 # "noborn" must skip the chain too: it reads the Born
                 # pass's VMEM-cached dI rows (uninitialized otherwise)

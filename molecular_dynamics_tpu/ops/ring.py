@@ -46,7 +46,10 @@ def ring_pair_forces(
     ``gb`` (fused GB-OBC path only) fuses the Still pair force into this
     loop — the Born radii are already known when it runs, so the GB pair
     term rides the same per-shift geometry instead of a second full sweep:
-    a dict with ``born`` (BR, L) Born radii, ``qq_t``/``gm_t`` (NSHIFT, L)
+    a dict with ``born`` (BR, L) Born radii, ``born_inv`` (BR, L) their
+    reciprocals (free from the OBC pass, which forms R = 1/(rho_inv -
+    tanh·radi) — carrying both turns the three VPU divisions of the Still
+    term into multiplies), ``qq_t``/``gm_t`` (NSHIFT, L)
     ELEC-scaled charge products and the pair mask (both 0.5-scaled on the
     halfway row), and ``uprime(f, finv)`` = d/df of the Still prefactor.
     With gb the return gains ``der`` = per-atom dE/dR_born sums (excluding
@@ -69,9 +72,13 @@ def ring_pair_forces(
     e = jnp.zeros_like(x)
     if gb is not None:
         born = gb["born"]
+        born_inv = gb.get("born_inv")
+        if born_inv is None:
+            born_inv = 1.0 / born
         uprime = gb["uprime"]
         gqq_t = gb["qq_t"]
         bs = pltpu.roll(born, start, 1)
+        bs_inv = pltpu.roll(born_inv, start, 1)
         der = jnp.zeros_like(x)
         rev = jnp.zeros_like(x)
 
@@ -134,17 +141,18 @@ def ring_pair_forces(
             # Still pair force on the same geometry (gqq = ELEC q_i q_j,
             # zero for ghosts, halved on the halfway row — so every GB
             # contribution is masked/scaled through it)
+            qs = 0.25 * safe
             bb_g = born * bs
-            exg = jnp.exp(-0.25 * safe / bb_g)
+            exg = jnp.exp(-qs * (born_inv * bs_inv))
             f2 = safe + bb_g * exg
             finv = jax.lax.rsqrt(f2)
             fdist = f2 * finv
             nqu = -gqq * uprime(fdist, finv)
             coeff = coeff + nqu * (d * (1.0 - 0.25 * exg) * finv) * rinv
             half_ex_finv = 0.5 * exg * finv
-            der = der + nqu * (bs + 0.25 * safe / born) * half_ex_finv
+            der = der + nqu * (bs + qs * born_inv) * half_ex_finv
             rev = pltpu.roll(rev, one, 1) + nqu * (
-                born + 0.25 * safe / bs
+                born + qs * bs_inv
             ) * half_ex_finv
 
         cx = coeff * dx
@@ -165,6 +173,7 @@ def ring_pair_forces(
             zs = pltpu.roll(zs, one, 1)
             if gb is not None:
                 bs = pltpu.roll(bs, one, 1)
+                bs_inv = pltpu.roll(bs_inv, one, 1)
 
     fx = fx + pltpu.roll(ax, one, 1)
     fy = fy + pltpu.roll(ay, one, 1)
