@@ -1402,6 +1402,14 @@ def _run_node(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     i = 0
     unroll_from = max(epochs - max(epochs // 4, 1), 1)
     rebased = False
+    # probe-rollout checkpoint selection: the fine-tune endpoint is
+    # chaotically sensitive to gradient perturbations (Rg/dist-matrix
+    # auxiliary losses are measured dead ends, docs/TRAINING.md), so
+    # instead of shaping the loss, snapshot the unroll phase and pick the
+    # checkpoint whose probe rollout best matches the data's e2e pathway
+    # and radius of gyration (MDX_NODE_PROBE=0 keeps the final params)
+    probe_every = int(os.environ.get("MDX_NODE_PROBE", 50))
+    snapshots = []
     for epoch in range(epochs):
         if epoch >= unroll_from:
             if not rebased:
@@ -1421,6 +1429,9 @@ def _run_node(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
                 i += 1
                 if i % 10 == 0:
                     _log(logger, curves, keeper, params, epoch, i, loss, t0)
+                if probe_every and i % probe_every == 0:
+                    snapshots.append(jax.device_get(params))
+                    snapshots = snapshots[-12:]
                 if i >= 200 * (epoch + 1):
                     break
             continue
@@ -1438,6 +1449,50 @@ def _run_node(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     # rollout through the solver -> coordinates (position half of the
     # state); clamps/substeps == _gen_frame above (same map as fine-tune)
     roll_len = int(np.mean([len(t) for t in traj.trajectories]))
+
+    if probe_every and snapshots:
+        from molecular_dynamics_tpu.evaluate import (
+            compare_e2e,
+            radius_of_gyration,
+        )
+
+        probe_len = max(roll_len // 2, 2)
+        data_stack = np.concatenate(traj.trajectories)
+        rg_data = float(radius_of_gyration(data_stack).mean())
+
+        def probe_score(p):
+            field = hnn_field(model, p)
+            probes = []
+            for st in seg_starts[:3]:
+                fr = rk4_rollout(
+                    field, jnp.asarray(x[st]), n_steps=probe_len * sub,
+                    dt=dt / sub, max_step=max_step, state_bounds=(lo, hi),
+                )
+                fr = fr[sub - 1 :: sub]
+                half = fr.shape[1] // 2
+                probes.append(
+                    np.asarray(fr[:, :half]).reshape(len(fr), -1, 3)
+                )
+            m = compare_e2e(
+                np.concatenate(probes), data_stack,
+                data_trajectories=traj.trajectories,
+                generated_trajectories=probes,
+            )
+            rg_err = abs(
+                float(radius_of_gyration(np.concatenate(probes)).mean())
+                - rg_data
+            )
+            return m["mean_abs_error"] + rg_err
+
+        candidates = snapshots + [jax.device_get(params)]
+        scores = [probe_score(p) for p in candidates]
+        best = int(np.argmin(scores))
+        params = candidates[best]
+        print(
+            f"node probe selection: checkpoint {best + 1}/{len(candidates)}"
+            f" score {scores[best]:.3f} (final-params score {scores[-1]:.3f})"
+        )
+
     rolls = []
     for st in seg_starts[:8]:
         frames = rk4_rollout(
