@@ -50,6 +50,11 @@ def e2e_time_buckets(
     stacked data) flattens the reaction-coordinate profile to its overall
     mean whenever more than one trajectory is stacked.
     """
+    # trajectories shorter than n_buckets would leave trailing buckets
+    # empty (NaN means); coarsen to the shortest trajectory instead
+    n_buckets = max(1, min(
+        n_buckets, min(len(t) for t in trajectories)
+    ))
     per_bucket = [[] for _ in range(n_buckets)]
     for t_arr in trajectories:
         d = np.asarray(end_to_end_distance(jnp.asarray(t_arr), i, j))
@@ -80,6 +85,15 @@ def compare_e2e(
     order. ``generated_trajectories`` does the same for an ensemble of
     generated rollouts.
     """
+    # both ensembles must bucket at the same resolution: coarsen to the
+    # shortest trajectory on either side (avoids empty buckets -> NaN)
+    for ts in (generated_trajectories, data_trajectories):
+        if ts is not None:
+            n_buckets = max(1, min(n_buckets, min(len(t) for t in ts)))
+    if generated_trajectories is None:
+        n_buckets = max(1, min(n_buckets, len(generated)))
+    if data_trajectories is None:
+        n_buckets = max(1, min(n_buckets, len(data)))
     if generated_trajectories is not None:
         g = e2e_time_buckets(generated_trajectories, i, j, n_buckets)
     else:

@@ -599,6 +599,15 @@ def make_fused_campaign_op(
         if sasa_pack is None:
             sasa_pack = os.environ.get("MDX_SASA_PACK", "") == "1"
         sasa_pack = bool(sasa_pack) and sasa_lc <= LANE // 2
+        if block_r % 8:
+            # the sub-chunk loop slices the scratch in >= 8-sublane rows
+            # (Mosaic minimum) and every chunk choice divides powers of
+            # two — a non-multiple-of-8 block would either have no valid
+            # chunk (StopIteration) or leave scratch rows unwritten
+            raise ValueError(
+                f"sasa=True requires block_r to be a multiple of 8, got "
+                f"{block_r}"
+            )
         if sasa_pack:
             sasa_tables, sasa_lc = _sasa_tables(ff, n_pad, pack=2)
             # pw (= block_r/2 packed rows) must be a multiple of 8 so the

@@ -141,6 +141,12 @@ def run_training(
                 f"batch_size {batch_size} must be divisible by the "
                 f"device count {devices}"
             )
+        if family not in _DP_FAMILIES:
+            print(
+                f"warning: family '{family}' trains single-device; "
+                f"--devices shards batches for "
+                f"{', '.join(sorted(_DP_FAMILIES))} only"
+            )
         mesh = get_mesh(devices)
 
     runner = _FAMILIES[family]
@@ -469,11 +475,16 @@ def _run_hnn(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     # unroll (train-HNN.py:177-186) — training the model on its own
     # rollouts is the reference's cure for autoregressive drift
     unroll_from = max(epochs - max(epochs // 4, 1), 1)
-    seq_starts_all = np.concatenate([
+    seq_windows = [
         np.arange(st, st + ln - cfg.seq_len)
         for st, ln in zip(seg_starts, seg_lens)
         if ln > cfg.seq_len
-    ])
+    ]
+    if seq_windows:
+        seq_starts_all = np.concatenate(seq_windows)
+    else:  # every trajectory shorter than the unroll horizon: skip phase 2
+        seq_starts_all = np.zeros(0, np.int64)
+        unroll_from = epochs
     rebased = False
     for epoch in range(epochs):
         if epoch >= unroll_from:
@@ -625,7 +636,14 @@ def _run_lstm(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
 
     n = ff.n_atoms
     feat = n * 3
-    history, lead = 15, 2
+    # the reference's window is history-15/lead-2 (LSTM_V6/lstm.py:20).
+    # For the deterministic lstm the unrolled fine-tune below retrains the
+    # model onto the next-frame rollout map anyway; the NLL variant keeps
+    # its 1-step objective, so its training target must BE the next frame
+    # (lead=1) — nll_sampling_rollout feeds each sample back as the
+    # immediate successor, and a lead-2 head would time-compress the
+    # generated pathway 2x
+    history, lead = 15, (1 if nll else 2)
     raw_traj = traj
     traj, w_mean, w_std = _whitened(traj)
     if nll:
@@ -675,9 +693,6 @@ def _run_lstm(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
             batch_size, logger, curves, keeper, env_prefix="MDX_LSTM",
         )
 
-    w0 = jnp.asarray(
-        traj.trajectories[0][:history].reshape(history, feat)
-    )
     # generated rollouts must traverse the full normalized-time span the
     # evaluator buckets over (a short rollout pins the statistics at the
     # pathway's start)
@@ -761,21 +776,13 @@ def _run_seq2seq(ff, traj, epochs, batch_size, rng, key, logger, keeper,
 
     roll_len = int(np.mean([len(t) for t in traj.trajectories]))
 
-    @jax.jit
-    def roll_chain(params, w0, key):
-        def body(carry, _):
-            w, k = carry
-            k, sub = jax.random.split(k)
-            seg = model.apply(params, w[None], sub, decode_len)[0]
-            w = jnp.concatenate([w[decode_len:], seg], axis=0)
-            return (w, k), seg
+    from molecular_dynamics_tpu.train.seq import chained_decode_rollout
 
-        (_, _), segs = jax.lax.scan(
-            body, (w0, key), None,
-            length=max(1, roll_len // decode_len),
+    roll_chain = jax.jit(
+        lambda p, w0, k: chained_decode_rollout(
+            model, p, w0, k, decode_len, roll_len
         )
-        return segs.reshape(-1, feat)
-
+    )
     rolls = []
     for t_arr in traj.trajectories[:8]:
         w0 = jnp.asarray(t_arr[:history].reshape(history, feat))
@@ -1345,11 +1352,15 @@ def _run_node(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     seq_len = int(os.environ.get("MDX_NODE_SEQ", 10))
     seg_lens = [len(t) - 2 for t in traj.trajectories]
     seg_starts = np.cumsum([0] + seg_lens)[:-1]
-    seq_starts_all = np.concatenate([
+    seq_windows = [
         np.arange(st, st + ln - seq_len)
         for st, ln in zip(seg_starts, seg_lens)
         if ln > seq_len
-    ])
+    ]
+    seq_starts_all = (
+        np.concatenate(seq_windows) if seq_windows
+        else np.zeros(0, np.int64)
+    )
 
     # generation-map constants, needed by the fine-tune too: clamp per-step
     # displacement to the data's dx support and the state to its box, and
@@ -1411,7 +1422,7 @@ def _run_node(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     probe_every = int(os.environ.get("MDX_NODE_PROBE", 50))
     snapshots = []
     for epoch in range(epochs):
-        if epoch >= unroll_from:
+        if epoch >= unroll_from and len(seq_starts_all):
             if not rebased:
                 # new loss regime (chained-solver MSE vs 1-step MSE):
                 # rebase so best.ckpt tracks the fine-tuned model
@@ -1456,7 +1467,11 @@ def _run_node(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
             radius_of_gyration,
         )
 
-        probe_len = max(roll_len // 2, 2)
+        # probes must run the FULL rollout horizon: half-length probes
+        # systematically favor checkpoints that drift late (measured:
+        # selected half-probe score 1.40 < final 2.11 but full-eval 3.29
+        # vs 1.07 — anti-correlated)
+        probe_len = max(roll_len, 2)
         data_stack = np.concatenate(traj.trajectories)
         rg_data = float(radius_of_gyration(data_stack).mean())
 
@@ -1567,21 +1582,13 @@ def _run_seq2seq_gan(ff, traj, epochs, batch_size, rng, key, logger, keeper,
     # decode_len-step rollouts)
     roll_len = int(np.mean([len(t) for t in traj.trajectories]))
 
-    @jax.jit
-    def roll_chain(params, w0, key):
-        def body(carry, _):
-            w, k = carry
-            k, sub = jax.random.split(k)
-            seg = gen.apply(params, w[None], sub, decode_len)[0]
-            w = jnp.concatenate([w[decode_len:], seg], axis=0)
-            return (w, k), seg
+    from molecular_dynamics_tpu.train.seq import chained_decode_rollout
 
-        (_, _), segs = jax.lax.scan(
-            body, (w0, key), None,
-            length=max(1, roll_len // decode_len),
+    roll_chain = jax.jit(
+        lambda p, w0, k: chained_decode_rollout(
+            gen, p, w0, k, decode_len, roll_len
         )
-        return segs.reshape(-1, feat)
-
+    )
     rolls = []
     for t_arr in traj.trajectories[:8]:
         w0 = jnp.asarray(t_arr[:history].reshape(history, feat))
@@ -1837,6 +1844,10 @@ def _run_aae(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     _eval_generated(out_dir, "aae", coords, raw_traj)
     return ae_params
 
+
+#: families whose batch loops shard over a DP mesh (_dp_prepare/_dp_batch);
+#: the rest accept mesh= for interface uniformity but train single-device
+_DP_FAMILIES = {"pretrain", "cgan", "lstm", "lstm-nll"}
 
 _FAMILIES = {
     "pretrain": _run_pretrain,

@@ -118,6 +118,27 @@ def autoregressive_rollout(model, params, window, n_steps: int):
     return frames
 
 
+def chained_decode_rollout(model, params, window, key, decode_len: int,
+                           n_steps: int):
+    """Seq2Seq generation by chaining trained-horizon decodes: decode
+    ``decode_len`` frames from the history window, shift the window by the
+    whole segment, repeat — the decoder only ever runs at the horizon it
+    was trained (and, for the GAN variant, the horizon its critic scored).
+    Returns (~n_steps, features)."""
+
+    def body(carry, _):
+        w, k = carry
+        k, sub = jax.random.split(k)
+        seg = model.apply(params, w[None], sub, decode_len)[0]
+        w = jnp.concatenate([w[decode_len:], seg], axis=0)
+        return (w, k), seg
+
+    (_, _), segs = jax.lax.scan(
+        body, (window, key), None, length=max(1, n_steps // decode_len)
+    )
+    return segs.reshape(-1, segs.shape[-1])
+
+
 def nll_sampling_rollout(model, params, window, key, n_steps: int):
     """Autoregressive generation from a Gaussian-NLL head: each step samples
     x ~ N(mu, sigma) from the predicted density and feeds it back — the

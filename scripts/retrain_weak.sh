@@ -1,7 +1,7 @@
 #!/bin/bash
 # Round-3 weak-family retrains: longer runs on the shared backbone dataset.
 # Sequential — one TPU job at a time (tunnel contention, CLAUDE.md).
-set -u
+set -u -o pipefail
 cd /root/repo
 DATA='datasets/backbone_smd/raw-traj_rep-*.npy'
 OUT=${1:-runs_r3}
