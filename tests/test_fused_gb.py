@@ -183,6 +183,25 @@ class TestFusedGBCampaign:
             np.asarray(f1), np.asarray(f_new), atol=0.15
         )
 
+    def test_sasa_rejects_non_multiple_of_8_block(self, gb_system):
+        """sasa=True with a block_r not divisible by 8 must fail loudly
+        (the sub-chunk loop would otherwise leave scratch rows unwritten
+        or hit StopIteration picking a chunk)."""
+        from molecular_dynamics_tpu.energy import GBIS_CONFIG
+
+        ff, _ = gb_system
+        with pytest.raises(ValueError, match="multiple of 8"):
+            make_fused_campaign_op(
+                ff, n_inner=1, dt_fs=1.0, temperature=0.0, gamma_ps=1.0,
+                cutoff=GBIS_CONFIG.cutoff,
+                switch_dist=GBIS_CONFIG.switch_dist,
+                rfa=GBIS_CONFIG.rfa,
+                solvent_dielectric=GBIS_CONFIG.solvent_dielectric,
+                gb=True, sasa=True,
+                surface_tension=GBIS_CONFIG.surface_tension,
+                block_r=12, interpret=True,
+            )
+
     def test_chain_prod_layout_matches_mac(self, gb_system, monkeypatch):
         """The cached-products chain layout (MDX_GB_CHAIN=prod: Born pass
         stores dI·dx per direction, chain pass drops its coordinate rolls)

@@ -170,6 +170,21 @@ class TestEvaluate:
         res = compare_e2e(frames, frames)
         assert res["mean_abs_error"] == 0.0
 
+    def test_compare_e2e_short_trajectories_no_nan(self, rng):
+        """Trajectories shorter than n_buckets coarsen the bucketing
+        instead of producing empty buckets (NaN means), and both ensembles
+        bucket at the same resolution."""
+        from molecular_dynamics_tpu.evaluate import compare_e2e
+
+        short = [rng.normal(0, 1, (3, 6, 3)) for _ in range(2)]
+        long_t = [rng.normal(0, 1, (40, 6, 3)) for _ in range(2)]
+        res = compare_e2e(
+            np.concatenate(short), np.concatenate(long_t),
+            data_trajectories=long_t, generated_trajectories=short,
+        )
+        for v in res.values():
+            assert np.isfinite(v)
+
     def test_whitening_roundtrip(self, rng):
         from molecular_dynamics_tpu.evaluate import whiten, whiten_fit, unwhiten
 
