@@ -62,9 +62,14 @@ _GB_ABLATE = os.environ.get("MDX_GB_ABLATE", "")
 #: rolled coordinates. "prod": the Born pass caches the three dI·dx
 #: force-direction products per integral direction (6 scratch rows, 3x
 #: the VMEM) and the chain pass drops its coordinate rolls entirely —
-#: trades scratch traffic for the cross-lane shuffle port. Same math,
-#: parity-pinned either way (tests/test_fused_gb.py runs both).
-_GB_CHAIN_PROD = os.environ.get("MDX_GB_CHAIN", "mac") == "prod"
+#: trades scratch traffic for the cross-lane shuffle port (measured
+#: slower: 899.6k vs 910.2k full campaign). "ilv2": two interleaved
+#: streams (even/odd shifts) halve the cross-shift roll dependency
+#: chains at the same total roll count — a latency-vs-throughput probe.
+#: Same math every way, parity-pinned (tests/test_fused_gb.py).
+_GB_CHAIN = os.environ.get("MDX_GB_CHAIN", "mac")
+_GB_CHAIN_PROD = _GB_CHAIN == "prod"
+_GB_CHAIN_ILV = _GB_CHAIN == "ilv2"
 
 _PI = 3.14159265358979
 _HALF_PI = 1.5707963267949
@@ -935,7 +940,11 @@ def make_fused_campaign_op(
                     )
 
                 z0 = jnp.zeros_like(x)
-                if interpret and _GB_CHAIN_PROD:
+                # dispatch: ilv2 always takes its static branch (interpret
+                # included — it is the only lowering of that layout); the
+                # interpret fori branches keep CPU-test compiles fast for
+                # the other layouts
+                if interpret and not _GB_CHAIN_ILV and _GB_CHAIN_PROD:
                     def body(i, carry):
                         ces, fx, fy, fz, ax, ay, az = carry
                         row = pl.ds(pl.multiple_of(i * br, br), br)
@@ -956,7 +965,7 @@ def make_fused_campaign_op(
                         ),
                         unroll=_GB_UNROLL,
                     )
-                elif interpret:
+                elif interpret and not _GB_CHAIN_ILV:
                     # fori_loop + dynamic row loads: one traced body keeps
                     # interpret-mode (CPU test) compiles fast
                     def body(i, carry):
@@ -988,6 +997,65 @@ def make_fused_campaign_op(
                         ),
                         unroll=_GB_UNROLL,
                     )
+                elif _GB_CHAIN_ILV:
+                    # static unroll, two interleaved streams: stream s
+                    # handles shifts i ≡ s (mod 2), every carried variable
+                    # (gather coords, partner cotangent, scatter
+                    # accumulators) advances by TWO lanes every other
+                    # iteration — same total shuffle work, half the
+                    # serial dependency depth per chain
+                    two = jnp.int32(2)
+                    st = [
+                        dict(
+                            xs=pltpu.roll(x, ring_start + s, 1),
+                            ys=pltpu.roll(y, ring_start + s, 1),
+                            zs=pltpu.roll(z, ring_start + s, 1),
+                            ces=pltpu.roll(ce, ring_start + s, 1),
+                            fx=z0, fy=z0, fz=z0, ax=z0, ay=z0, az=z0,
+                        )
+                        for s in range(2)
+                    ]
+                    first = [True, True]
+                    for i in range(n_shifts):
+                        s = st[i % 2]
+                        if not first[i % 2]:
+                            s["xs"] = pltpu.roll(s["xs"], two, 1)
+                            s["ys"] = pltpu.roll(s["ys"], two, 1)
+                            s["zs"] = pltpu.roll(s["zs"], two, 1)
+                            s["ces"] = pltpu.roll(s["ces"], two, 1)
+                        first[i % 2] = False
+                        cx, cy, cz = shift_term(
+                            gdf_ref[i * br : (i + 1) * br, :],
+                            gdr_ref[i * br : (i + 1) * br, :],
+                            s["xs"], s["ys"], s["zs"], s["ces"],
+                        )
+                        s["fx"] = s["fx"] - cx
+                        s["fy"] = s["fy"] - cy
+                        s["fz"] = s["fz"] - cz
+                        s["ax"] = pltpu.roll(s["ax"], two, 1) + cx
+                        s["ay"] = pltpu.roll(s["ay"], two, 1) + cy
+                        s["az"] = pltpu.roll(s["az"], two, 1) + cz
+                    # each cx_i needs a total scatter roll of n_shifts - i
+                    # lanes. Stream 0 (even i, 0-based): in-loop rolls gave
+                    # n_shifts - 2 - i, finish with 2; stream 1 (odd i):
+                    # gave n_shifts - 1 - i, finish with 1. Fold fully here
+                    # and hand zeros to the shared roll(a*, 1) fold below.
+                    fx = (
+                        st[0]["fx"] + st[1]["fx"]
+                        + pltpu.roll(st[0]["ax"], two, 1)
+                        + pltpu.roll(st[1]["ax"], one, 1)
+                    )
+                    fy = (
+                        st[0]["fy"] + st[1]["fy"]
+                        + pltpu.roll(st[0]["ay"], two, 1)
+                        + pltpu.roll(st[1]["ay"], one, 1)
+                    )
+                    fz = (
+                        st[0]["fz"] + st[1]["fz"]
+                        + pltpu.roll(st[0]["az"], two, 1)
+                        + pltpu.roll(st[1]["az"], one, 1)
+                    )
+                    ax, ay, az = z0, z0, z0
                 elif _GB_CHAIN_PROD:
                     # static unroll, cached-products layout: 4 rolls per
                     # shift instead of 7

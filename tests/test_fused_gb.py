@@ -227,16 +227,23 @@ class TestFusedGBCampaign:
         vel_b = jnp.broadcast_to(vel, (R, n, 3)).astype(jnp.float32)
         f0 = jnp.zeros_like(pos_b)
         outs = {}
-        for prod in (False, True):
-            monkeypatch.setattr(fused_step, "_GB_CHAIN_PROD", prod)
+        for layout in ("mac", "prod", "ilv2"):
+            monkeypatch.setattr(
+                fused_step, "_GB_CHAIN_PROD", layout == "prod"
+            )
+            monkeypatch.setattr(
+                fused_step, "_GB_CHAIN_ILV", layout == "ilv2"
+            )
             adv = make_fused_campaign_op(ff, **kw)
-            outs[prod] = jax.jit(
+            outs[layout] = jax.jit(
                 lambda a, b, c: adv(a, b, c, jnp.int32(0), jnp.int32(1))
             )(pos_b, vel_b, f0)
-        for a, b in zip(outs[False], outs[True]):
-            np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), atol=2e-5
-            )
+        for other in ("prod", "ilv2"):
+            for a, b in zip(outs["mac"], outs[other]):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=2e-5,
+                    err_msg=f"layout {other} vs mac",
+                )
 
     def test_single_step_matches_composed_with_sasa(self, gb_system):
         """Full GBIS physics (gb + in-kernel dense LCPO SASA) == composed
