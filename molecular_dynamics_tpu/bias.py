@@ -67,8 +67,14 @@ class HarmonicSMDBias:
         )
 
     def center(self, step: Array) -> Array:
-        """Restraint centre at integration step ``step`` (linear schedule)."""
-        t = jnp.asarray(step, self.cent_0.dtype)
+        """Restraint centre at integration step ``step``: linear schedule,
+        held at ``cent_1`` past ``T`` steps — NAMD colvars keeps
+        ``targetCenters`` after ``targetNumSteps`` (pinned against replica
+        0's recorded post-schedule MISC energy, tests/test_namd_golden.py);
+        the reference's python Energy only ever evaluates within [0, T]
+        (Test-5_bias_n_improper/potcalc.py:80-88), where the schedules
+        agree exactly."""
+        t = jnp.minimum(jnp.asarray(step, self.cent_0.dtype), self.T)
         return (self.cent_1 - self.cent_0) / self.T * t + self.cent_0
 
     def colvar(self, pos: Array) -> Array:

@@ -523,12 +523,14 @@ def make_fused_campaign_op(
         bias_fk = float(bias.fk)
         bias_c0 = float(bias.cent_0)
         bias_slope = float((bias.cent_1 - bias.cent_0) / bias.T)
+        bias_tmax = float(bias.T)
     else:
         w1 = np.zeros((1, n_pad), np.float32)
         w2 = np.zeros((1, n_pad), np.float32)
         bias_fk = 0.0
         bias_c0 = 0.0
         bias_slope = 0.0
+        bias_tmax = 0.0
 
     lane_tables = (
         jnp.asarray(minv), jnp.asarray(c2), jnp.asarray(amask),
@@ -1202,12 +1204,13 @@ def make_fused_campaign_op(
                 if sasa_pack:
                     o_b = o_b & c_blk
                 o = jnp.where(o_b, 1.0, 0.0)
+                k3d = c_k3 * dinv  # shared between a and da/dd
                 a = o * (
-                    c_k1 - c_k2 * d - c_k3 * dinv
+                    c_k1 - c_k2 * d - k3d
                 )  # == oa (solvent.py: a_ij pre-masked by overlap)
                 # da/dd and the masked per-pair force factor, still on the
                 # chain layout; c = W ∘ cfac downstream
-                ap = c_k3 * (dinv * dinv) - c_k2
+                ap = k3d * dinv - c_k2
                 cfac = jnp.where(o_b, ap, 0.0) * dinv
                 if _ablate == "geom":
                     return a[:, :, 0] * 0.0, a[:, :, 0] * 0.0, \
@@ -1478,7 +1481,9 @@ def make_fused_campaign_op(
             dist = jnp.sqrt(
                 jnp.maximum(comx**2 + comy**2 + comz**2, _EPS)
             )
-            center = bias_c0 + bias_slope * t_step
+            # schedule held at cent_1 past T steps (NAMD colvars keeps
+            # targetCenters after targetNumSteps — bias.HarmonicSMDBias)
+            center = bias_c0 + bias_slope * jnp.minimum(t_step, bias_tmax)
             coefb = bias_fk * (dist - center) / dist
             fx = fx - coefb * comx * wdiff
             fy = fy - coefb * comy * wdiff
