@@ -150,6 +150,17 @@ def main():
             m, ep = _load_run("runs_r3_fullfam", fam)
             if m is not None:
                 fullfam.append((fam, m, ep))
+    if not fullfam and os.path.isfile(out):
+        # the run dir is transient (its eval.jsons are not committed):
+        # when it is absent, carry the measured section over verbatim
+        # from the existing document so regeneration is lossless
+        with open(out) as f:
+            old = f.read()
+        marker = "## Full-representation variants"
+        if marker in old:
+            sec = old[old.index(marker):]
+            tbl_end = sec.index("\n\n", sec.index("|---"))
+            lines += ["", sec[:tbl_end].rstrip()]
     if fullfam:
         lines += [
             "",
