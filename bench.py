@@ -115,6 +115,10 @@ def run_case(ff, pos, gbis: bool, sasa: bool, constrain: bool) -> float:
             gb=gbis,
             ion_concentration=e_cfg.ion_concentration if gbis else 0.0,
             sasa=sasa,
+            # r-RESPA cadence for the slow LCPO nonpolar force (NAMD's
+            # slow-force MTS pattern); physical parity vs every-step is
+            # pinned by tests/test_fused_campaign.py
+            sasa_every=int(os.environ.get("MDX_BENCH_SASA_EVERY", 5)),
             block_r=int(os.environ.get("MDX_BENCH_CBLOCK", 128 if not gbis else 64)),
         )
     else:

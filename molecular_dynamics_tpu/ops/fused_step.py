@@ -444,6 +444,7 @@ def make_fused_campaign_op(
     ion_concentration: float = 0.0,
     sasa: bool = False,  # in-kernel LCPO SASA nonpolar term (NAMD sasa on)
     surface_tension: float = 0.005,
+    sasa_every: int = 1,  # slow-force cadence: LCPO held for k steps (MTS)
     block_r: int = 64,
     interpret: bool = False,
     sasa_pack=None,  # None -> off unless MDX_SASA_PACK=1 (measured wash)
@@ -472,6 +473,19 @@ def make_fused_campaign_op(
     per-replica MXU matmuls — with gb it completes the full NAMD campaign
     physics in-kernel. The dense pass runs in replica sub-chunks so its
     (CH, lc, lc) tensors stay VMEM-small at any ``block_r``.
+
+    ``sasa_every=k > 1`` multiple-timesteps the nonpolar term — the
+    r-RESPA/held-force cadence NAMD itself uses for slow forces
+    (``fullElectFrequency``): the LCPO force is evaluated once per
+    k-step block at the block-entry positions (exactly where the carried
+    force was last evaluated) and held constant across the block's force
+    evaluations. The surface term is the smoothest, smallest force in the
+    campaign (surface tension 0.005 kcal/mol/A^2), so the O(k*dt) hold
+    error sits far below the Langevin thermostat noise — pinned by the
+    ensemble-statistics and NVE-drift tests in tests/test_fused_campaign.
+    Requires ``n_inner % sasa_every == 0``. The program still contains
+    exactly one instance of the dense pass and one of the fast-force
+    body (nested fori_loops, no lax.cond), so compile cost is unchanged.
     Arrays are (R, N, 3); t0 int32 scalar; seed int32 scalar.
     """
     n = ff.n_atoms
@@ -648,6 +662,14 @@ def make_fused_campaign_op(
     else:
         sasa_tables, sasa_lc, sasa_pack = (), 0, False
     sasa_w = sasa_lc * (2 if sasa_pack else 1)
+    sasa_every = int(sasa_every) if use_sasa else 1
+    if sasa_every < 1:
+        raise ValueError(f"sasa_every must be >= 1, got {sasa_every}")
+    if sasa_every > 1 and n_inner % sasa_every:
+        raise ValueError(
+            f"sasa_every={sasa_every} must divide n_inner={n_inner} "
+            "(the held-force blocks tile the launch exactly)"
+        )
 
     ring_kw = dict(
         n_shifts=n_shifts,
@@ -1375,7 +1397,7 @@ def make_fused_campaign_op(
                 fx, fy, fz, _ = ring_pair_forces(
                     x, y, z, pair_tabs, **ring_kw
                 )
-            if use_sasa:
+            if use_sasa and sasa_every == 1:
                 sfx, sfy, sfz = sasa_pass(x, y, z)
                 fx = fx + sfx
                 fy = fy + sfy
@@ -1515,9 +1537,9 @@ def make_fused_campaign_op(
             g3, _ = gaussians(shape)
             return g1, g2, g3
 
-        def body(i, carry):
+        def step_body(gi, carry, force_eval):
             x, y, z, vx, vy, vz, fx, fy, fz = carry
-            t_step = t0 + i.astype(jnp.float32)
+            t_step = t0 + gi.astype(jnp.float32)
             half = 0.5 * dt
             # B: half kick with stored forces
             vx = vx + half * fx * minv
@@ -1536,7 +1558,7 @@ def make_fused_campaign_op(
             # O: exact OU solve with on-core noise (statically skipped at
             # T=0; interpret mode draws from the host PRNG via noise3)
             if temperature > 0.0:
-                g1, g2, g3 = noise3(i, x.shape)
+                g1, g2, g3 = noise3(gi, x.shape)
                 vx = c1 * vx + c2v * g1
                 vy = c1 * vy + c2v * g2
                 vz = c1 * vz + c2v * g3
@@ -1555,7 +1577,7 @@ def make_fused_campaign_op(
                 xn, yn, zn = shake(xn, yn, zn, rx, ry, rz)
             x, y, z = xn, yn, zn
             # B: half kick with new forces
-            fx, fy, fz = forces(x, y, z, t_step)
+            fx, fy, fz = force_eval(x, y, z, t_step)
             vx = vx + half * fx * minv
             vy = vy + half * fy * minv
             vz = vz + half * fz * minv
@@ -1563,16 +1585,41 @@ def make_fused_campaign_op(
                 vx, vy, vz = rattle(vx, vy, vz, x, y, z)
             return x, y, z, vx, vy, vz, fx, fy, fz
 
-        out = jax.lax.fori_loop(
-            0,
-            n_inner,
-            body,
-            (
-                x_ref[:], y_ref[:], z_ref[:],
-                vx_ref[:], vy_ref[:], vz_ref[:],
-                fx_ref[:], fy_ref[:], fz_ref[:],
-            ),
+        init_carry = (
+            x_ref[:], y_ref[:], z_ref[:],
+            vx_ref[:], vy_ref[:], vz_ref[:],
+            fx_ref[:], fy_ref[:], fz_ref[:],
         )
+        if use_sasa and sasa_every > 1:
+            # Held-force MTS: one LCPO evaluation per k-step block, at the
+            # block-entry positions (= where the carried total force was
+            # last evaluated). The carried force stays the TOTAL force —
+            # the block's first half-kick consumes it as-is (its embedded
+            # nonpolar component is the previous block's held value, the
+            # same O(k*dt) hold the schedule already accepts) and every
+            # in-block force eval adds the fresh held term to fast forces.
+            def block(j, carry):
+                sx, sy, sz = sasa_pass(carry[0], carry[1], carry[2])
+
+                def feval(xx, yy, zz, tt):
+                    fxx, fyy, fzz = forces(xx, yy, zz, tt)
+                    return fxx + sx, fyy + sy, fzz + sz
+
+                def istep(i, c):
+                    return step_body(j * sasa_every + i, c, feval)
+
+                return jax.lax.fori_loop(0, sasa_every, istep, carry)
+
+            out = jax.lax.fori_loop(
+                0, n_inner // sasa_every, block, init_carry
+            )
+        else:
+            out = jax.lax.fori_loop(
+                0,
+                n_inner,
+                lambda i, c: step_body(i, c, forces),
+                init_carry,
+            )
         ox_ref[:], oy_ref[:], oz_ref[:] = out[0], out[1], out[2]
         ovx_ref[:], ovy_ref[:], ovz_ref[:] = out[3], out[4], out[5]
         ofx_ref[:], ofy_ref[:], ofz_ref[:] = out[6], out[7], out[8]

@@ -73,6 +73,14 @@ class SimulationConfig:
     #: SHAKE/RATTLE: in-kernel matmul Jacobi sweeps on the fused campaign
     #: path, vmapped projection steps on the composed path.
     constrain_h_bonds: bool = False
+    #: slow-force cadence for the LCPO SASA term on the fused campaign
+    #: path (r-RESPA held-force multiple-timestepping, the pattern NAMD
+    #: uses for its slow forces): evaluate the nonpolar force once per
+    #: ``sasa_every`` steps and hold it between evaluations. Must divide
+    #: ``save_every``. 1 = every step. Physical soundness (colvar track,
+    #: Rg/temperature statistics, NVE drift vs every-step) is pinned by
+    #: tests/test_fused_campaign.py.
+    sasa_every: int = 1
 
 
 def make_step_fn(
@@ -386,6 +394,7 @@ def simulate_ensemble(
             ion_concentration=config.energy.ion_concentration,
             sasa=campaign_sasa,
             surface_tension=config.energy.surface_tension,
+            sasa_every=config.sasa_every if campaign_sasa else 1,
             # the Mosaic kernel has no CPU lowering; interpret mode keeps
             # fused_campaign configs runnable in the CPU test environment
             interpret=jax.default_backend() != "tpu",

@@ -67,6 +67,14 @@ def main():
         "fused campaigns",
     )
     ap.add_argument(
+        "--sasa-every", type=int, default=1,
+        help="slow-force cadence for the LCPO nonpolar term (r-RESPA "
+        "held-force MTS): evaluate SASA every k steps; must divide "
+        "--save-every. 1 = every step (the conservative default for "
+        "data generation; the bench default k=5 is ensemble-validated "
+        "by tests/test_fused_gb.py::TestSASAMultipleTimestepping)",
+    )
+    ap.add_argument(
         "--chunk-steps", type=int, default=100_000,
         help="steps per device call: one monolithic 500k-step execution "
         "can exceed remote-backend execution limits; chunking keeps each "
@@ -112,6 +120,7 @@ def main():
         fused_campaign=not args.no_fused,
         # the NAMD campaign ran rigidBonds ALL at 2 fs (gendirs_GBIS.py:66)
         constrain_h_bonds=args.gbis,
+        sasa_every=args.sasa_every,
     )
     t0 = time.time()
     # chunks must be save_every (x obs_every) multiples: simulate_ensemble

@@ -56,12 +56,16 @@ def main():
     for fam, m, wall, epochs in rows:
         if not m and wall is None:
             continue
+        # std_abs_error (ensemble-spread mismatch) stays in the extras
+        # column so spread regressions are visible alongside mean-error
+        # improvements (e.g. the r3 lstm-nll retrain: mean 1.65 -> 0.90
+        # but std 0.82 -> 1.51 — a trade-off, not a pure win)
         extras = {
             k: v
             for k, v in m.items()
             if k
             not in (
-                "mean_abs_error", "max_abs_error", "std_abs_error",
+                "mean_abs_error", "max_abs_error",
                 "rg_gen_mean", "rg_data_mean", "rg_abs_error",
             )
         }
@@ -150,17 +154,43 @@ def main():
             m, ep = _load_run("runs_r3_fullfam", fam)
             if m is not None:
                 fullfam.append((fam, m, ep))
-    if not fullfam and os.path.isfile(out):
+    if not fullfam:
         # the run dir is transient (its eval.jsons are not committed):
-        # when it is absent, carry the measured section over verbatim
-        # from the existing document so regeneration is lossless
-        with open(out) as f:
-            old = f.read()
-        marker = "## Full-representation variants"
-        if marker in old:
+        # when it is absent, carry the measured section over verbatim so
+        # regeneration is lossless. Source it from the CANONICAL document
+        # (falling back to the output path), not only from `out` — a
+        # regeneration to a fresh path must not drop the section.
+        carried = False
+        for src in ("docs/TRAINING.md", out):
+            if not os.path.isfile(src):
+                continue
+            with open(src) as f:
+                old = f.read()
+            marker = "## Full-representation variants"
+            if marker not in old:
+                continue
             sec = old[old.index(marker):]
-            tbl_end = sec.index("\n\n", sec.index("|---"))
-            lines += ["", sec[:tbl_end].rstrip()]
+            # keep everything up to the next section heading or the
+            # script's own global epilogue (or EOF), so prose after the
+            # table survives; tolerate truncated or reshaped sections
+            # instead of crashing the regeneration
+            cut = len(sec)
+            for stop in ("\n## ", "\nReproduce: `bash scripts/"):
+                try:
+                    cut = min(cut, sec.index(stop, 1))
+                except ValueError:
+                    pass
+            sec = sec[:cut]
+            lines += ["", sec.rstrip()]
+            carried = True
+            break
+        if not carried:
+            print(
+                "warning: full-representation-variants section not found "
+                "in docs/TRAINING.md or the output file and "
+                "runs_r3_fullfam/ is absent — section dropped",
+                file=sys.stderr,
+            )
     if fullfam:
         lines += [
             "",
