@@ -288,7 +288,36 @@ def cmd_convert(args) -> int:
             out[k] = f_c @ r.T + ref.mean(axis=0)
         frames = out
 
-    np.save(args.output, np.asarray(frames, np.float32))
+    if args.output.endswith(".pdb"):
+        # PDB emission for VMD (Alpha/predsToPDB.py:1-39): multi-model file
+        # instead of the reference's one-file-per-frame loop
+        from molecular_dynamics_tpu.io.pdb import write_pdb
+
+        frames = np.asarray(frames, np.float64)
+        n = frames.shape[-2]
+        names = resnames = resids = None
+        if args.topology:
+            from molecular_dynamics_tpu.io import read_psf
+
+            top = read_psf(args.topology)
+            atoms = np.asarray([str(x) for x in top.atom_names], object)
+            if args.selection == "backbone":
+                sel = np.isin(atoms, ["N", "CA", "C", "O"])
+                names = atoms[sel]
+                resnames, resids = top.res_names[sel], top.res_ids[sel]
+            elif len(atoms) == n:
+                names = atoms
+                resnames, resids = top.res_names, top.res_ids
+        if names is None and n % 4 == 0:
+            # reference backbone heuristic: N/CA/C/O x (n/4), resname ALA
+            names = np.array(["N", "CA", "C", "O"] * (n // 4), object)
+            resnames = np.array(["ALA"] * n, object)
+            resids = np.repeat(np.arange(1, n // 4 + 1), 4)
+        if names is None:
+            names = np.array(["C"] * n, object)
+        write_pdb(args.output, frames, names, resnames=resnames, resids=resids)
+    else:
+        np.save(args.output, np.asarray(frames, np.float32))
     print(f"{args.input} -> {args.output} {frames.shape}")
     return 0
 

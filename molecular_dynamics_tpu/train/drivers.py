@@ -186,10 +186,39 @@ def _log(logger, curves, keeper, params, epoch, step, loss, t0):
         keeper.update(float(loss), params)
 
 
-def _export_xyz(path, coords_batch, names):
-    from molecular_dynamics_tpu.io import write_xyz
+def _export_xyz(path, coords_batch, names, top=None, max_pdb_frames=200):
+    """Persist a generated rollout as xyz plus a PDB sibling for VMD.
 
-    write_xyz(path, np.asarray(coords_batch), symbols=[str(n) for n in names])
+    The reference renders Alpha-line predictions to PDB for visualization
+    (Alpha/predsToPDB.py:1-39, one file per frame with hardcoded backbone
+    N/CA/C/O + ALA records); here every family export writes one
+    multi-model PDB next to the xyz. Residue records come from the real
+    topology when available, else from the reference's backbone heuristic.
+    """
+    import os
+
+    from molecular_dynamics_tpu.io import write_xyz
+    from molecular_dynamics_tpu.io.pdb import write_pdb
+
+    coords = np.asarray(coords_batch)
+    write_xyz(path, coords, symbols=[str(n) for n in names])
+
+    frames = coords[None] if coords.ndim == 2 else coords
+    n = frames.shape[1]
+    resnames = resids = None
+    if top is not None and len(getattr(top, "res_names", ())) == n:
+        resnames, resids = top.res_names, top.res_ids
+    elif n % 4 == 0 and [str(x) for x in names[:4]] == ["N", "CA", "C", "O"]:
+        # backbone representation: ALA x (n/4) (predsToPDB.py convToPDB)
+        resnames = np.array(["ALA"] * n, object)
+        resids = np.repeat(np.arange(1, n // 4 + 1), 4)
+    write_pdb(
+        os.path.splitext(path)[0] + ".pdb",
+        frames[:max_pdb_frames],
+        np.asarray([str(x) for x in names], object),
+        resnames=resnames,
+        resids=resids,
+    )
 
 
 def _eval_generated(out_dir, family, generated, traj, extra=None,
@@ -339,7 +368,7 @@ def _run_pretrain(ff, traj, epochs, batch_size, rng, key, logger, keeper,
     t = jnp.linspace(0, 1, 20)
     z = jax.random.normal(key, (20, 31))
     coords = gen.apply(params, z, t, method=Generator.coords)
-    _export_xyz(os.path.join(out_dir, "pretrain_generated.xyz"), coords, names)
+    _export_xyz(os.path.join(out_dir, "pretrain_generated.xyz"), coords, names, top=top)
     _eval_generated(out_dir, "pretrain", coords, traj)
     return params
 
@@ -442,7 +471,7 @@ def _run_cgan(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     t = jnp.linspace(0, 1, 20)
     z = jax.random.normal(key, (20, 31))
     coords = gen.apply(g_params, z, t, method=Generator.coords)
-    _export_xyz(os.path.join(out_dir, "cGAN_generated.xyz"), coords, names)
+    _export_xyz(os.path.join(out_dir, "cGAN_generated.xyz"), coords, names, top=top)
     _eval_generated(out_dir, "cgan", coords, traj)
     return g_params
 
@@ -542,7 +571,7 @@ def _run_hnn(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
         rolls.append(
             np.asarray(frames[:, :half]).reshape(len(frames), -1, 3)
         )
-    _export_xyz(os.path.join(out_dir, "HNN_generated.xyz"), rolls[0], names)
+    _export_xyz(os.path.join(out_dir, "HNN_generated.xyz"), rolls[0], names, top=top)
     _eval_rollout_ensemble(out_dir, "hnn", rolls, traj)
     return params
 
@@ -721,7 +750,7 @@ def _run_lstm(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
         os.path.join(
             out_dir, ("LSTMNLL" if nll else "LSTM") + "_generated.xyz"
         ),
-        rolls[0], names,
+        rolls[0], names, top=top,
     )
     _eval_rollout_ensemble(out_dir, tag, rolls, raw_traj)
     return params
@@ -791,9 +820,7 @@ def _run_seq2seq(ff, traj, epochs, batch_size, rng, key, logger, keeper,
         rolls.append(
             unwhiten(np.asarray(gen).reshape(-1, n, 3), w_mean, w_std)
         )
-    _export_xyz(
-        os.path.join(out_dir, "Seq2Seq_generated.xyz"), rolls[0], names
-    )
+    _export_xyz(os.path.join(out_dir, "Seq2Seq_generated.xyz"), rolls[0], names, top=top)
     _eval_rollout_ensemble(out_dir, "seq2seq", rolls, raw_traj)
     return params
 
@@ -836,7 +863,7 @@ def _run_flow(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     conds = jnp.linspace(0.0, 1.0, n_gen)[:, None]
     samples = model.apply(params, z, conds, method=RealNVP.inverse)
     coords = np.asarray(minmax_unscale(samples, lo, hi)).reshape(n_gen, n, 3)
-    _export_xyz(os.path.join(out_dir, "cFlow_generated.xyz"), coords, names)
+    _export_xyz(os.path.join(out_dir, "cFlow_generated.xyz"), coords, names, top=top)
     _eval_generated(out_dir, "flow", coords, traj)
     return params
 
@@ -884,7 +911,7 @@ def _run_vae(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
         w_mean,
         w_std,
     )
-    _export_xyz(os.path.join(out_dir, "VAE_generated.xyz"), coords, names)
+    _export_xyz(os.path.join(out_dir, "VAE_generated.xyz"), coords, names, top=top)
     _eval_generated(out_dir, "vae", coords, raw_traj)
     return params
 
@@ -945,9 +972,7 @@ def _run_transformer(ff, traj, epochs, batch_size, rng, key, logger, keeper,
         rolls.append(
             unwhiten(np.asarray(frames).reshape(-1, n, 3), w_mean, w_std)
         )
-    _export_xyz(
-        os.path.join(out_dir, "Transformer_generated.xyz"), rolls[0], names
-    )
+    _export_xyz(os.path.join(out_dir, "Transformer_generated.xyz"), rolls[0], names, top=top)
     _eval_rollout_ensemble(out_dir, "transformer", rolls, raw_traj)
     return params
 
@@ -1178,7 +1203,7 @@ def _run_gat(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
         )
         for s0 in traj_starts[:24]
     ]
-    _export_xyz(os.path.join(out_dir, "GAT_generated.xyz"), rolls[0], names)
+    _export_xyz(os.path.join(out_dir, "GAT_generated.xyz"), rolls[0], names, top=top)
     _eval_rollout_ensemble(out_dir, "gat", rolls, traj)
     return params
 
@@ -1292,9 +1317,7 @@ def _run_sde(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     coords = unwhiten(
         np.asarray(fake).reshape(-1, n, 3), w_mean, w_std
     )
-    _export_xyz(
-        os.path.join(out_dir, "SDE_generated.xyz"), coords[:256], names
-    )
+    _export_xyz(os.path.join(out_dir, "SDE_generated.xyz"), coords[:256], names, top=top)
     half = rng.permutation(len(paths))
     floor = marginal_histograms(
         paths[half[: len(half) // 2]], paths[half[len(half) // 2 :]]
@@ -1520,7 +1543,7 @@ def _run_node(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
         rolls.append(
             np.asarray(frames[:, :half]).reshape(len(frames), -1, 3)
         )
-    _export_xyz(os.path.join(out_dir, "NODE_generated.xyz"), rolls[0], names)
+    _export_xyz(os.path.join(out_dir, "NODE_generated.xyz"), rolls[0], names, top=top)
     _eval_rollout_ensemble(out_dir, "node", rolls, traj)
     return params
 
@@ -1597,9 +1620,7 @@ def _run_seq2seq_gan(ff, traj, epochs, batch_size, rng, key, logger, keeper,
         rolls.append(
             unwhiten(np.asarray(gen_seq).reshape(-1, n, 3), w_mean, w_std)
         )
-    _export_xyz(
-        os.path.join(out_dir, "Seq2SeqGAN_generated.xyz"), rolls[0], names
-    )
+    _export_xyz(os.path.join(out_dir, "Seq2SeqGAN_generated.xyz"), rolls[0], names, top=top)
     _eval_rollout_ensemble(out_dir, "seq2seq-gan", rolls, raw_traj)
     return g_params
 
@@ -1756,9 +1777,7 @@ def _run_lstm_gat(ff, traj, epochs, batch_size, rng, key, logger, keeper,
     for t_arr in traj.trajectories[:8]:
         frames = roll(params, jnp.asarray(t_arr[:history]))
         rolls.append(unwhiten(np.asarray(frames), w_mean, w_std))
-    _export_xyz(
-        os.path.join(out_dir, "LSTMGAT_generated.xyz"), rolls[0], names
-    )
+    _export_xyz(os.path.join(out_dir, "LSTMGAT_generated.xyz"), rolls[0], names, top=top)
     _eval_rollout_ensemble(out_dir, "lstm-gat", rolls, raw_traj)
     return params
 
@@ -1840,7 +1859,7 @@ def _run_aae(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     coords = unwhiten(
         np.asarray(decoded).reshape(20, n, 3), w_mean, w_std
     )
-    _export_xyz(os.path.join(out_dir, "AAE_generated.xyz"), coords, names)
+    _export_xyz(os.path.join(out_dir, "AAE_generated.xyz"), coords, names, top=top)
     _eval_generated(out_dir, "aae", coords, raw_traj)
     return ae_params
 
