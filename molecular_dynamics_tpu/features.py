@@ -62,6 +62,27 @@ def phi_psi(pos: Array, phi_idx, psi_idx) -> Tuple[Array, Array]:
     )
 
 
+def per_atom_angle_rows(top: Topology):
+    """Map every atom to its residue's row in the φ/ψ tables.
+
+    Returns ``(phi_idx, psi_idx, phi_row, psi_row)`` where ``phi_row[a]``
+    is the row of ``phi_idx`` carrying atom ``a``'s residue's φ (or -1 at
+    the terminus without one; ψ likewise). Broadcasting torsions to atoms
+    builds the per-particle [xyz, φ, ψ] features the graph-conditioned
+    sequence families train on (Seq2Seq_Graph_Position_V1/lstm.py:17-25,
+    allPhiPsi concatenated per particle).
+    """
+    phi_idx, psi_idx = phi_psi_indices(top)
+    res = np.asarray(top.res_ids)
+    # the torsion's own residue: φ row is (C-, N, CA, C) -> CA at col 2;
+    # ψ row is (N, CA, C, N+) -> CA at col 1
+    phi_of_res = {int(res[r[2]]): k for k, r in enumerate(phi_idx)}
+    psi_of_res = {int(res[r[1]]): k for k, r in enumerate(psi_idx)}
+    phi_row = np.array([phi_of_res.get(int(r), -1) for r in res], np.int64)
+    psi_row = np.array([psi_of_res.get(int(r), -1) for r in res], np.int64)
+    return phi_idx, psi_idx, phi_row, psi_row
+
+
 # ---------------------------------------------------------------------------
 # distances
 # ---------------------------------------------------------------------------

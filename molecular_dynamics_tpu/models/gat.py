@@ -112,3 +112,57 @@ def gns_rollout(
         step, (pos0, vel_history), None, length=n_steps
     )
     return traj
+
+
+class GraphSeq2Seq(nn.Module):
+    """LSTM encoder -> noise-fed LSTM decoder -> dense-GAT refinement of
+    every decoded frame over a kNN graph rebuilt from the frame's own
+    predicted positions.
+
+    The graph-conditioned Seq2Seq family (Molecule_Dynamics_v1/
+    Seq2Seq_Graph_Position_V1/lstm.py:76-168): per-atom feature sequences
+    [xyz, phi, psi] ride the LSTM batch dim; each decode step injects
+    noise, advances the decoder LSTM from the encoder's carry, then
+    conditions the frame on its own predicted geometry with graph
+    attention (torch-geometric KNNGraph(6) + GATConv re-designed as dense
+    MXU attention over ``knn_graph_mask``). The graph pass is residual so
+    position information survives the refinement — the reference replaces
+    the frame with a GATConv of its 2 angle features alone, which discards
+    the decoded positions each step.
+    """
+
+    feat_dim: int = 5
+    hidden_size: int = 64
+    k: int = 6
+    noise_scale: float = 0.5
+
+    @nn.compact
+    def __call__(self, window: jnp.ndarray, key, decode_len: int):
+        """window: (N, T, feat_dim) per-atom history ->
+        (N, decode_len, feat_dim) decoded frames."""
+        x = window.astype(jnp.float32)
+        n = x.shape[0]
+        enc_cell = nn.OptimizedLSTMCell(self.hidden_size)
+        dec_cell = nn.OptimizedLSTMCell(self.hidden_size)
+        enc_head = nn.Dense(self.feat_dim)
+        dec_head = nn.Dense(self.feat_dim)
+        gat = DenseGATLayer(self.feat_dim)
+
+        carry = enc_cell.initialize_carry(
+            jax.random.PRNGKey(0), (n, x.shape[-1])
+        )
+        h = jnp.zeros((n, self.hidden_size), jnp.float32)
+        for t in range(x.shape[1]):
+            carry, h = enc_cell(carry, x[:, t, :])
+        out = enc_head(h)
+        noise = jax.random.normal(
+            key, (decode_len, n, self.feat_dim), jnp.float32
+        )
+        outs = []
+        for i in range(decode_len):
+            carry, h = dec_cell(carry, out + self.noise_scale * noise[i])
+            out = dec_head(h)
+            adj = knn_graph_mask(out[..., :3], min(self.k, n - 1))
+            out = out + gat(out, adj)
+            outs.append(out)
+        return jnp.stack(outs, axis=1)

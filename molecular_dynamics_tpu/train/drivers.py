@@ -1866,6 +1866,115 @@ def _run_aae(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
 
 #: families whose batch loops shard over a DP mesh (_dp_prepare/_dp_batch);
 #: the rest accept mesh= for interface uniformity but train single-device
+def _run_seq2seq_graph(ff, traj, epochs, batch_size, rng, key, logger,
+                       keeper, curves, out_dir, names, top, mesh=None):
+    """Graph-conditioned Seq2Seq (Seq2Seq_Graph_Position_V1/lstm.py:76-200):
+    the LSTM encoder/decoder runs per atom over [xyz, phi, psi] features
+    and every decoded frame is refined by dense-GAT attention over a kNN
+    graph built from its own predicted positions."""
+    import jax
+    import jax.numpy as jnp
+
+    from molecular_dynamics_tpu.features import per_atom_angle_rows, phi_psi
+    from molecular_dynamics_tpu.models.gat import GraphSeq2Seq
+    from molecular_dynamics_tpu.train.seq import (
+        graph_chained_decode_rollout,
+        make_graph_seq2seq_trainer,
+    )
+
+    n = ff.n_atoms
+    history, decode_len = 10, 5
+    raw_traj = traj
+    traj, w_mean, w_std = _whitened(traj)
+
+    phi_idx, psi_idx, phi_row, psi_row = per_atom_angle_rows(top)
+
+    def atom_feats(raw_frames, white_frames):
+        # (T, N, 3) -> (T, N, 5): whitened xyz + the atom's residue
+        # torsions from the RAW geometry (whitening distorts dihedrals);
+        # termini without a torsion carry 0 (allPhiPsi per-particle
+        # concatenation, Seq2Seq_Graph_Position_V1/lstm.py:17-25)
+        if len(phi_idx) and len(psi_idx):
+            ph, ps = jax.jit(
+                jax.vmap(lambda p: phi_psi(p, phi_idx, psi_idx))
+            )(jnp.asarray(np.asarray(raw_frames)))
+            ph, ps = np.asarray(ph), np.asarray(ps)
+            a_phi = np.where(
+                phi_row >= 0, ph[:, np.clip(phi_row, 0, None)], 0.0
+            )
+            a_psi = np.where(
+                psi_row >= 0, ps[:, np.clip(psi_row, 0, None)], 0.0
+            )
+        else:
+            a_phi = np.zeros((len(raw_frames), n), np.float32)
+            a_psi = np.zeros_like(a_phi)
+        return np.concatenate(
+            [
+                np.asarray(white_frames, np.float32),
+                a_phi[..., None].astype(np.float32),
+                a_psi[..., None].astype(np.float32),
+            ],
+            axis=-1,
+        )
+
+    feats = [
+        atom_feats(r, w)
+        for r, w in zip(raw_traj.trajectories, traj.trajectories)
+    ]
+
+    model = GraphSeq2Seq()
+    opt, step = make_graph_seq2seq_trainer(model, decode_len)
+    params = model.init(
+        key, jnp.zeros((n, history, 5)), jax.random.PRNGKey(0), decode_len
+    )
+    opt_state = opt.init(params)
+    t0 = time.time()
+    i = 0
+    for epoch in range(epochs):
+        for f_arr in feats:
+            for s in range(0, len(f_arr) - history - decode_len, batch_size):
+                m = min(batch_size, len(f_arr) - s - history - decode_len)
+                wins = np.stack([
+                    f_arr[s + j : s + j + history].transpose(1, 0, 2)
+                    for j in range(m)
+                ])
+                tgts = np.stack([
+                    f_arr[
+                        s + j + history : s + j + history + decode_len
+                    ].transpose(1, 0, 2)
+                    for j in range(m)
+                ])
+                key, sub = jax.random.split(key)
+                params, opt_state, loss = step(
+                    params, opt_state, sub,
+                    jnp.asarray(wins), jnp.asarray(tgts),
+                )
+                i += 1
+                if i % 10 == 0:
+                    _log(logger, curves, keeper, params, epoch, i, loss, t0)
+
+    from molecular_dynamics_tpu.evaluate import unwhiten
+
+    roll_len = int(np.mean([len(t) for t in traj.trajectories]))
+    roll = jax.jit(
+        lambda p, w0, k: graph_chained_decode_rollout(
+            model, p, w0, k, decode_len, roll_len
+        )
+    )
+    rolls = []
+    for f_arr in feats[:8]:
+        w0 = jnp.asarray(f_arr[:history].transpose(1, 0, 2))
+        key, sub = jax.random.split(key)
+        gen = roll(params, w0, sub)  # (T, N, 5)
+        rolls.append(unwhiten(np.asarray(gen)[..., :3], w_mean, w_std))
+    _export_xyz(
+        os.path.join(out_dir, "Seq2SeqGraph_generated.xyz"),
+        rolls[0], names, top=top,
+    )
+    _eval_rollout_ensemble(out_dir, "seq2seq-graph", rolls, raw_traj)
+    return params
+
+
 _DP_FAMILIES = {"pretrain", "cgan", "lstm", "lstm-nll"}
 
 _FAMILIES = {
@@ -1875,6 +1984,7 @@ _FAMILIES = {
     "lstm": _run_lstm,
     "lstm-nll": lambda **kw: _run_lstm(nll=True, **kw),
     "seq2seq": _run_seq2seq,
+    "seq2seq-graph": _run_seq2seq_graph,
     "seq2seq-gan": _run_seq2seq_gan,
     "lstm-gat": _run_lstm_gat,
     "aae": _run_aae,

@@ -216,3 +216,61 @@ def make_seq2seq_gan_trainer(
         return optax.apply_updates(d_params, updates), d_opt, val
 
     return opt_g, opt_d, g_step, d_step
+
+
+def make_graph_seq2seq_trainer(
+    model, decode_len: int, lr: float = 1e-3, clip_norm: float = 1.0,
+    w_angles: float = 0.1, w_e2e: float = 1.0,
+):
+    """Graph-conditioned Seq2Seq trainer (Seq2Seq_Graph_Position_V1/
+    lstm.py:170-200): position MSE on every decoded frame, a weighted
+    angle-channel term, and the end-to-end pair-distance MSE the reference
+    *intends* — its own pairing indexes ``dist(a, a) = 0`` for every pair
+    (lstm.py:171-189), so the corrected form pairs atom i with atom
+    N-1-i. Windows/targets are per-atom: (B, N, T, F) / (B, N, L, F)."""
+    opt = optax.chain(optax.clip_by_global_norm(clip_norm), optax.adam(lr))
+
+    def e2e(pos):  # (..., N, 3) -> (..., N//2) mirrored pair distances
+        half = pos.shape[-2] // 2
+        return jnp.linalg.norm(
+            pos[..., :half, :] - jnp.flip(pos, -2)[..., :half, :], axis=-1
+        )
+
+    @jax.jit
+    def step(params, opt_state, key, windows, targets):
+        def loss(p):
+            keys = jax.random.split(key, windows.shape[0])
+            pred = jax.vmap(
+                lambda w, k: model.apply(p, w, k, decode_len)
+            )(windows, keys)  # (B, N, L, F)
+            pos_p = jnp.swapaxes(pred[..., :3], 1, 2)  # (B, L, N, 3)
+            pos_t = jnp.swapaxes(targets[..., :3], 1, 2)
+            val = jnp.mean((pos_p - pos_t) ** 2)
+            val += w_angles * jnp.mean((pred[..., 3:] - targets[..., 3:]) ** 2)
+            val += w_e2e * jnp.mean((e2e(pos_p) - e2e(pos_t)) ** 2)
+            return val
+
+        val, grads = jax.value_and_grad(loss)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, val
+
+    return opt, step
+
+
+def graph_chained_decode_rollout(model, params, window, key,
+                                 decode_len: int, n_steps: int):
+    """Chained trained-horizon decodes for per-atom (N, T, F) windows —
+    the graph family's generation mode (same schedule as
+    ``chained_decode_rollout``). Returns (~n_steps, N, F)."""
+
+    def body(carry, _):
+        w, k = carry
+        k, sub = jax.random.split(k)
+        seg = model.apply(params, w, sub, decode_len)  # (N, L, F)
+        w = jnp.concatenate([w[:, decode_len:], seg], axis=1)
+        return (w, k), jnp.swapaxes(seg, 0, 1)
+
+    (_, _), segs = jax.lax.scan(
+        body, (window, key), None, length=max(1, n_steps // decode_len)
+    )
+    return segs.reshape(-1, *segs.shape[-2:])
