@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import warnings
 from typing import Callable, Tuple
 
 import jax
@@ -361,6 +362,21 @@ def simulate_ensemble(
         # reduced-term configs run on the composed XLA path
         and (term_set == set(DEFAULT_TERMS) or campaign_gb)
     )
+    if use_campaign:
+        from molecular_dynamics_tpu.ops.fused_step import fused_campaign_fits
+
+        if not fused_campaign_fits(ff.n_atoms):
+            # past the kernel's VMEM design point the composed XLA path is
+            # 40-90x faster (docs/VALIDATION.md system-size table) — take
+            # it silently instead of a pathological kernel or a VMEM crash
+            warnings.warn(
+                f"fused_campaign requested but the system ({ff.n_atoms} "
+                "atoms) is past the VMEM-resident kernel's design point; "
+                "dispatching to the composed XLA path (40-90x faster at "
+                "this scale; MDX_FUSED_FORCE=1 forces the kernel)",
+                stacklevel=2,
+            )
+            use_campaign = False
     if use_campaign:
         from molecular_dynamics_tpu.ops.fused_step import (
             make_fused_campaign_op,

@@ -110,3 +110,71 @@ class TestTiledOracle:
         np.testing.assert_allclose(
             np.asarray(f1[0]), np.asarray(f_new), atol=0.05
         )
+
+
+class TestCampaignAutoDispatch:
+    """simulate_ensemble silently routes oversized systems to the composed
+    XLA path instead of a pathological fused kernel / VMEM crash
+    (VERDICT r3 #2; measured tiers in docs/VALIDATION.md)."""
+
+    def test_fits_predicate_tiers(self, monkeypatch):
+        from molecular_dynamics_tpu.ops.fused_step import fused_campaign_fits
+
+        monkeypatch.delenv("MDX_FUSED_FORCE", raising=False)
+        assert fused_campaign_fits(104)   # reference scale: kernel tier
+        assert fused_campaign_fits(208)   # 2 lane-tiles: parity-pinned tier
+        assert not fused_campaign_fits(416)
+        assert not fused_campaign_fits(1040)
+        monkeypatch.setenv("MDX_FUSED_FORCE", "1")
+        assert fused_campaign_fits(416)
+
+    def test_oversized_system_dispatches_composed(self, monkeypatch):
+        import warnings as _w
+
+        from molecular_dynamics_tpu import maxwell_boltzmann, system_init
+        from molecular_dynamics_tpu.integrate import initialize_forces
+        from molecular_dynamics_tpu.sim import (
+            SimulationConfig,
+            simulate_ensemble,
+        )
+        from molecular_dynamics_tpu.system import replicate
+
+        monkeypatch.delenv("MDX_FUSED_FORCE", raising=False)
+        ffm, cm, _ = tiled_decaalanine(4)  # 416 atoms
+        cfg = SimulationConfig(
+            dt_fs=0.5, fused_campaign=True, energy=REFERENCE_CONFIG
+        )
+        pos = jnp.asarray(cm, jnp.float32)
+        key = jax.random.PRNGKey(0)
+        state = system_init(
+            pos, vel=maxwell_boltzmann(key, ffm.masses, 300.0), key=key
+        )
+        state = initialize_forces(
+            state,
+            lambda p, b: -jax.grad(
+                lambda q: total_energy(q, ffm, config=REFERENCE_CONFIG)
+            )(p),
+        )
+        ens = replicate(state, 2, seed=1)
+        with pytest.warns(UserWarning, match="composed XLA path"):
+            final, frames, _ = simulate_ensemble(
+                ens, ffm, n_steps=4, save_every=2, config=cfg
+            )
+        assert np.isfinite(np.asarray(frames)).all()
+
+        # at reference scale the fused kernel stays selected: no warning
+        ff1, c1, _ = tiled_decaalanine(1)
+        state1 = system_init(
+            jnp.asarray(c1, jnp.float32),
+            vel=maxwell_boltzmann(key, ff1.masses, 300.0), key=key,
+        )
+        state1 = initialize_forces(
+            state1,
+            lambda p, b: -jax.grad(
+                lambda q: total_energy(q, ff1, config=REFERENCE_CONFIG)
+            )(p),
+        )
+        ens1 = replicate(state1, 2, seed=1)
+        with _w.catch_warnings():
+            _w.simplefilter("error", UserWarning)
+            simulate_ensemble(ens1, ff1, n_steps=4, save_every=2, config=cfg)
