@@ -157,12 +157,18 @@ def minimize_fire(
     f_dec: float = 0.5,
     alpha_start: float = 0.1,
     f_alpha: float = 0.99,
+    max_disp: float = 0.0,
 ) -> Array:
     """FIRE structure minimization (fused lax.fori_loop; jit-compatible).
 
     Plays the role of ``minimize_bfgs`` in the reference's bring-up loop
     (V_Calculations/Test-1/tutorial.ipynb cell 14) as the pre-dynamics
     relaxation (NAMD's ``minimize 500``, gendirs_GBIS.py:99).
+
+    ``max_disp > 0`` clamps each step's per-component displacement (a
+    trust region): required when the start is far from physical (e.g.
+    relaxing model-generated frames with clashes, where |F| can reach 1e6
+    and one unclamped step throws atoms thousands of Angstrom).
     """
 
     def body(_, carry):
@@ -183,7 +189,10 @@ def minimize_fire(
         vel = jnp.where(uphill, jnp.zeros_like(vel), vel)
 
         vel = vel + dt * f
-        pos = pos + dt * vel
+        disp = dt * vel
+        if max_disp > 0.0:
+            disp = jnp.clip(disp, -max_disp, max_disp)
+        pos = pos + disp
         return pos, vel, dt, alpha, n_pos
 
     init = (

@@ -74,12 +74,14 @@ def rollout(
     noise_std: float = 0.0,
     key=None,
     max_step: float = None,
+    corrector=None,
 ) -> jnp.ndarray:
     """Autoregressive generation ``x += dx_hat * dt (+ noise)`` — the
     reference's 10k-frame generation loop (HNN-Full.py:294-329) as one scan.
     Returns (n_steps, ...) trajectory of states. ``max_step`` clamps the
     per-step displacement componentwise (long rollouts compound one
-    out-of-distribution prediction into collapse/divergence).
+    out-of-distribution prediction into collapse/divergence); ``corrector``
+    relaxes each generated state (train.seq.make_frame_corrector).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -91,6 +93,8 @@ def rollout(
         if max_step is not None:
             d = jnp.clip(d, -max_step, max_step)
         x = x + d
+        if corrector is not None:
+            x = corrector(x)
         if noise_std > 0:
             k, sub = jax.random.split(k)
             x = x + noise_std * jax.random.normal(sub, x.shape, x.dtype)

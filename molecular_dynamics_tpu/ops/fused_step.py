@@ -468,7 +468,8 @@ def make_fused_campaign_op(
     sasa: bool = False,  # in-kernel LCPO SASA nonpolar term (NAMD sasa on)
     surface_tension: float = 0.005,
     sasa_every: int = 1,  # slow-force cadence: LCPO held for k steps (MTS)
-    block_r: int = 64,
+    block_r: int = 0,  # 0 -> pair-mode default (ring: 64, dense: 8)
+    pair_mode: str = "",  # "" -> auto: ring <= 2 lane-tiles, dense above
     interpret: bool = False,
     sasa_pack=None,  # None -> off unless MDX_SASA_PACK=1 (measured wash)
 ):
@@ -514,6 +515,22 @@ def make_fused_campaign_op(
     n = ff.n_atoms
     n_pad = ((n + LANE - 1) // LANE) * LANE
     n_shifts = n_pad // 2
+    if not pair_mode:
+        # the ring layout's lane rotations dominate past ~2 lane-tiles of
+        # atoms (416 atoms: 853 steps/s ring vs the dense mid-size tier;
+        # docs/VALIDATION.md system-size table) — auto-tier on size
+        pair_mode = "ring" if n_pad <= 2 * LANE else "dense"
+    if pair_mode not in ("ring", "dense"):
+        raise ValueError(f"pair_mode must be ring|dense, got {pair_mode!r}")
+    use_dense_pairs = pair_mode == "dense"
+    if use_dense_pairs and (gb or sasa):
+        raise NotImplementedError(
+            "the dense mid-size pair tier does not carry the in-kernel "
+            "GB/SASA passes (ring layout); use pair_mode='ring' or the "
+            "composed XLA path for implicit solvent at this size"
+        )
+    if not block_r:
+        block_r = 8 if use_dense_pairs else 64
     if cutoff is None:
         cutoff = 1e15  # effectively no cutoff (matches the sibling pair ops)
         rfa = False
@@ -524,8 +541,13 @@ def make_fused_campaign_op(
     else:
         krf, crf = 0.0, 0.0
 
-    # --- ring pair tables (shared builder: physics lives once) ---
-    ring_tables = build_ring_tables(ff, n_pad, include_ub=include_ub)
+    # --- pair tables (shared builders: physics lives once) ---
+    if use_dense_pairs:
+        from molecular_dynamics_tpu.ops.nonbonded import _build_pair_tables
+
+        ring_tables = _build_pair_tables(ff, include_ub, n_pad)
+    else:
+        ring_tables = build_ring_tables(ff, n_pad, include_ub=include_ub)
 
     ang = _angle_tables(ff, n_pad)
     tor = _torsion_tables(ff, n_pad)
@@ -695,7 +717,6 @@ def make_fused_campaign_op(
         )
 
     ring_kw = dict(
-        n_shifts=n_shifts,
         cutoff2=float(cutoff) ** 2,
         krf=float(krf),
         crf=float(crf),
@@ -704,6 +725,14 @@ def make_fused_campaign_op(
             1.0 / (cutoff - switch_dist) if switch_dist is not None else 0.0
         ),
     )
+    if use_dense_pairs:
+        from molecular_dynamics_tpu.ops.nonbonded import dense_pair_forces
+
+        def pair_forces(x, y, z, tabs, **kw):
+            return dense_pair_forces(x, y, z, tabs, **kw)
+    else:
+        ring_kw["n_shifts"] = n_shifts
+        pair_forces = ring_pair_forces
 
     def kernel(
         t0_ref, seed_ref,  # SMEM (1,1) int32
@@ -1417,7 +1446,7 @@ def make_fused_campaign_op(
                     fy = fy + cfy
                     fz = fz + cfz
             else:
-                fx, fy, fz, _ = ring_pair_forces(
+                fx, fy, fz, _ = pair_forces(
                     x, y, z, pair_tabs, **ring_kw
                 )
             if use_sasa and sasa_every == 1:
@@ -1674,7 +1703,9 @@ def make_fused_campaign_op(
         vs = _split(vel, r)
         fs = _split(frc, r)
         in_tabs = list(ring_tables)
-        tab_specs = [bcast((n_shifts, n_pad))] * 9
+        tab_specs = [
+            bcast((n_pad if use_dense_pairs else n_shifts, n_pad))
+        ] * 9
         a_rows = ang[0].shape[1]
         in_tabs += list(ang[:4]) + [ang[4], ang[5]]
         tab_specs += [

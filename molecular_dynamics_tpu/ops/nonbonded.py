@@ -40,28 +40,32 @@ from molecular_dynamics_tpu.ff.params import FFParams
 LANE = 128  # pad atoms to the TPU lane width
 
 
-def _kernel(
-    x_ref, y_ref, z_ref,  # (BR, LANES) coordinate blocks
-    qq_ref, a_ref, b_ref, m_ref,  # nonbonded tables (LANES, LANES)
-    kb_ref, d0_ref,  # harmonic-pair tables
-    a14_ref, b14_ref, qq14_ref,  # pre-scaled 1-4 tables
-    fx_ref, fy_ref, fz_ref, e_ref,  # (BR, LANES) outputs
+def dense_pair_forces(
+    x, y, z,  # (BR, L) coordinate values
+    tables,  # 9 arrays, each (L, L)
     *, cutoff2: float, krf: float, crf: float,
     switch_dist: float, inv_switch_span: float,
 ):
-    qq = qq_ref[:][None]
-    aa = a_ref[:][None]
-    bb = b_ref[:][None]
-    msym = m_ref[:][None]
-    kb = kb_ref[:][None]
-    d0 = d0_ref[:][None]
-    a14 = a14_ref[:][None]
-    b14 = b14_ref[:][None]
-    qq14 = qq14_ref[:][None]
+    """Shared dense-pass pair math over VALUES: every 2-body term in one
+    masked (BR, L, L) sweep with analytic forces. Used by the standalone
+    dense kernel below and by the fused campaign kernel's dense pair mode
+    (the mid-size system tier, ``ops.fused_step``): atoms occupy BOTH the
+    sublane-broadcast and lane axes, so there is no per-shift roll loop —
+    past ~2 lane-tiles of atoms the ring layout's lane rotations dominate
+    while this form stays fully vectorized. Returns (fx, fy, fz, e_rows)
+    where ``e_rows`` is the half-counted per-row energy (BR, L).
+    """
+    qq_t, a_t, b_t, m_t, kb_t, d0_t, a14_t, b14_t, qq14_t = tables
+    qq = qq_t[None]
+    aa = a_t[None]
+    bb = b_t[None]
+    msym = m_t[None]
+    kb = kb_t[None]
+    d0 = d0_t[None]
+    a14 = a14_t[None]
+    b14 = b14_t[None]
+    qq14 = qq14_t[None]
 
-    x = x_ref[:]
-    y = y_ref[:]
-    z = z_ref[:]
     dx = x[:, :, None] - x[:, None, :]
     dy = y[:, :, None] - y[:, None, :]
     dz = z[:, :, None] - z[:, None, :]
@@ -108,10 +112,34 @@ def _kernel(
     coeff = coeff + (6.0 * b14_6 - 12.0 * a14_12) * rinv2 - qq14 * rinv2 * rinv
 
     # F_i = -sum_j coeff_ij * (r_i - r_j)
-    fx_ref[:] = -jnp.sum(coeff * dx, axis=2)
-    fy_ref[:] = -jnp.sum(coeff * dy, axis=2)
-    fz_ref[:] = -jnp.sum(coeff * dz, axis=2)
-    e_ref[:] = 0.5 * jnp.sum(pot, axis=2)
+    fx = -jnp.sum(coeff * dx, axis=2)
+    fy = -jnp.sum(coeff * dy, axis=2)
+    fz = -jnp.sum(coeff * dz, axis=2)
+    return fx, fy, fz, 0.5 * jnp.sum(pot, axis=2)
+
+
+def _kernel(
+    x_ref, y_ref, z_ref,  # (BR, LANES) coordinate blocks
+    qq_ref, a_ref, b_ref, m_ref,  # nonbonded tables (LANES, LANES)
+    kb_ref, d0_ref,  # harmonic-pair tables
+    a14_ref, b14_ref, qq14_ref,  # pre-scaled 1-4 tables
+    fx_ref, fy_ref, fz_ref, e_ref,  # (BR, LANES) outputs
+    *, cutoff2: float, krf: float, crf: float,
+    switch_dist: float, inv_switch_span: float,
+):
+    fx, fy, fz, e = dense_pair_forces(
+        x_ref[:], y_ref[:], z_ref[:],
+        tuple(
+            r[:] for r in (qq_ref, a_ref, b_ref, m_ref, kb_ref, d0_ref,
+                           a14_ref, b14_ref, qq14_ref)
+        ),
+        cutoff2=cutoff2, krf=krf, crf=crf,
+        switch_dist=switch_dist, inv_switch_span=inv_switch_span,
+    )
+    fx_ref[:] = fx
+    fy_ref[:] = fy
+    fz_ref[:] = fz
+    e_ref[:] = e
 
 
 def _resolve_ub(ff: FFParams, include_ub) -> bool:

@@ -561,11 +561,25 @@ def _run_hnn(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     # per-step displacement clamped to the data's dx support
     roll_len = int(np.mean([len(t) for t in traj.trajectories]))
     max_step = float(np.quantile(np.abs(dx), 0.999)) * 2.0
+    from molecular_dynamics_tpu.train.seq import corrector_from_env
+
+    # phase-space corrector: relax the position half of each generated
+    # state through the FF (full-representation rescue lever); velocities
+    # ride along untouched
+    pos_correct = corrector_from_env(
+        ff, np.zeros(ff.n_atoms * 3), np.ones(ff.n_atoms * 3)
+    )
+    correct = None
+    if pos_correct is not None:
+        half_dim = x.shape[1] // 2
+        correct = lambda st: jnp.concatenate(
+            [pos_correct(st[:half_dim]), st[half_dim:]]
+        )
     rolls = []
     for st in seg_starts[:8]:
         frames = rollout(
             model, params, jnp.asarray(x[st]), n_steps=roll_len, dt=1.0,
-            max_step=max_step,
+            max_step=max_step, corrector=correct,
         )
         half = frames.shape[1] // 2
         rolls.append(
@@ -726,8 +740,15 @@ def _run_lstm(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     # evaluator buckets over (a short rollout pins the statistics at the
     # pathway's start)
     roll_len = int(np.mean([len(t) for t in traj.trajectories]))
-    from molecular_dynamics_tpu.train.seq import nll_sampling_rollout
+    from molecular_dynamics_tpu.train.seq import (
+        corrector_from_env,
+        nll_sampling_rollout,
+    )
 
+    # MDX_ROLLOUT_CORRECT=fire:<n>: relax each predicted frame through the
+    # differentiable FF before feedback — the full-representation rescue
+    # lever (docs/TRAINING.md full-rep section)
+    correct = corrector_from_env(ff, w_mean, w_std)
     rolls = []
     for t_arr in traj.trajectories[:8]:
         w0_t = jnp.asarray(t_arr[:history].reshape(history, feat))
@@ -736,11 +757,12 @@ def _run_lstm(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
             # (Alpha/NLL_Train.py:40-356 + predsToPDB.py capability)
             key, sub = jax.random.split(key)
             frames = nll_sampling_rollout(
-                model, params, w0_t, sub, n_steps=roll_len
+                model, params, w0_t, sub, n_steps=roll_len,
+                corrector=correct,
             )
         else:
             frames = autoregressive_rollout(
-                model, params, w0_t, n_steps=roll_len
+                model, params, w0_t, n_steps=roll_len, corrector=correct
             )
         rolls.append(
             unwhiten(np.asarray(frames).reshape(-1, n, 3), w_mean, w_std)
@@ -805,11 +827,15 @@ def _run_seq2seq(ff, traj, epochs, batch_size, rng, key, logger, keeper,
 
     roll_len = int(np.mean([len(t) for t in traj.trajectories]))
 
-    from molecular_dynamics_tpu.train.seq import chained_decode_rollout
+    from molecular_dynamics_tpu.train.seq import (
+        chained_decode_rollout,
+        corrector_from_env,
+    )
 
+    correct = corrector_from_env(ff, w_mean, w_std)
     roll_chain = jax.jit(
         lambda p, w0, k: chained_decode_rollout(
-            model, p, w0, k, decode_len, roll_len
+            model, p, w0, k, decode_len, roll_len, corrector=correct
         )
     )
     rolls = []
@@ -903,13 +929,19 @@ def _run_vae(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
                 _log(logger, curves, keeper, params, epoch, i, loss, t0)
     from molecular_dynamics_tpu.evaluate import unwhiten
 
+    from molecular_dynamics_tpu.train.seq import corrector_from_env
+
     z = jax.random.normal(key, (10, model.latent_dim))
+    decoded = model.apply(
+        params, z, jnp.arange(10), method=ConditionalVAE.decode
+    )
+    correct = corrector_from_env(ff, w_mean, w_std)
+    if correct is not None:
+        # no feedback loop to stabilize here — relax each decoded frame
+        # onto the physical manifold before scoring
+        decoded = jax.vmap(correct)(decoded)
     coords = unwhiten(
-        np.asarray(
-            model.apply(params, z, jnp.arange(10), method=ConditionalVAE.decode)
-        ).reshape(10, n, 3),
-        w_mean,
-        w_std,
+        np.asarray(decoded).reshape(10, n, 3), w_mean, w_std
     )
     _export_xyz(os.path.join(out_dir, "VAE_generated.xyz"), coords, names, top=top)
     _eval_generated(out_dir, "vae", coords, raw_traj)

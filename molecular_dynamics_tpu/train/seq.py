@@ -105,12 +105,17 @@ def make_seq2seq_trainer(
     return opt, step
 
 
-def autoregressive_rollout(model, params, window, n_steps: int):
+def autoregressive_rollout(model, params, window, n_steps: int,
+                           corrector=None):
     """Rollout driver: repeatedly predict the next frame and shift the
-    window (the reference's test.py pattern, LSTM_V6/test.py:1-40)."""
+    window (the reference's test.py pattern, LSTM_V6/test.py:1-40).
+    ``corrector`` (make_frame_corrector) relaxes each predicted frame
+    before it is emitted and fed back."""
 
     def body(w, _):
         pred = model.apply(params, w[None])[0]
+        if corrector is not None:
+            pred = corrector(pred)
         w = jnp.concatenate([w[1:], pred[None]], axis=0)
         return w, pred
 
@@ -119,7 +124,7 @@ def autoregressive_rollout(model, params, window, n_steps: int):
 
 
 def chained_decode_rollout(model, params, window, key, decode_len: int,
-                           n_steps: int):
+                           n_steps: int, corrector=None):
     """Seq2Seq generation by chaining trained-horizon decodes: decode
     ``decode_len`` frames from the history window, shift the window by the
     whole segment, repeat — the decoder only ever runs at the horizon it
@@ -130,6 +135,8 @@ def chained_decode_rollout(model, params, window, key, decode_len: int,
         w, k = carry
         k, sub = jax.random.split(k)
         seg = model.apply(params, w[None], sub, decode_len)[0]
+        if corrector is not None:
+            seg = jax.vmap(corrector)(seg)
         w = jnp.concatenate([w[decode_len:], seg], axis=0)
         return (w, k), seg
 
@@ -139,7 +146,8 @@ def chained_decode_rollout(model, params, window, key, decode_len: int,
     return segs.reshape(-1, segs.shape[-1])
 
 
-def nll_sampling_rollout(model, params, window, key, n_steps: int):
+def nll_sampling_rollout(model, params, window, key, n_steps: int,
+                         corrector=None):
     """Autoregressive generation from a Gaussian-NLL head: each step samples
     x ~ N(mu, sigma) from the predicted density and feeds it back — the
     predict-and-emit capability of the reference's NLL lines
@@ -153,6 +161,8 @@ def nll_sampling_rollout(model, params, window, key, n_steps: int):
         pred = mu[0] + sigma[0] * jax.random.normal(
             sub, mu[0].shape, mu.dtype
         )
+        if corrector is not None:
+            pred = corrector(pred)
         w = jnp.concatenate([w[1:], pred[None]], axis=0)
         return (w, key), pred
 
@@ -274,3 +284,64 @@ def graph_chained_decode_rollout(model, params, window, key,
         body, (window, key), None, length=max(1, n_steps // decode_len)
     )
     return segs.reshape(-1, *segs.shape[-2:])
+
+
+def make_frame_corrector(
+    ff, w_mean, w_std, n_steps: int = 8,
+    dt_start: float = 1e-3, dt_max: float = 5e-3, energy_config=None,
+):
+    """Physics-corrector for generated frames: a few FIRE relaxation steps
+    through the differentiable force field applied to each predicted frame
+    of a rollout (VERDICT r3 #5). One-step-ahead models accumulate
+    geometry error over 1000-step autoregressive rollouts (bond stretch,
+    clashes) much faster at full representation than on the 40-atom
+    backbone; relaxing each frame before it is fed back keeps the
+    trajectory on the physical manifold. The reference's stack could not
+    afford an FF pass per generated frame (it rebuilds the force field
+    per evaluation — BASELINE.md "reference inefficiency"); here the
+    correction is a jitted ``lax.fori_loop`` inside the generation scan.
+
+    Operates on the rollout representation (whitened flat features):
+    unwhitens to coordinates, relaxes, re-whitens. Returns a jit-safe
+    ``(features,) -> (features,)`` function.
+    """
+    from molecular_dynamics_tpu.energy import REFERENCE_CONFIG, total_energy
+    from molecular_dynamics_tpu.integrate import minimize_fire
+
+    cfg = energy_config or REFERENCE_CONFIG
+    n = ff.n_atoms
+    mean = jnp.asarray(w_mean, jnp.float32)
+    std = jnp.asarray(w_std, jnp.float32)
+    force = lambda p: -jax.grad(
+        lambda q: total_energy(q, ff, config=cfg)
+    )(p)
+
+    def correct(flat):
+        pos = (flat * std + mean).reshape(n, 3)
+        # trust region 0.05 A/component/step: generated frames can carry
+        # clashes with |F| ~ 1e6 — unclamped FIRE throws atoms km away
+        pos = minimize_fire(
+            pos, force, n_steps=n_steps, dt_start=dt_start, dt_max=dt_max,
+            max_disp=0.05,
+        )
+        return (pos.reshape(-1) - mean) / std
+
+    return correct
+
+
+def corrector_from_env(ff, w_mean, w_std, env="MDX_ROLLOUT_CORRECT"):
+    """Build a frame corrector from the recipe env knob, or None.
+
+    Format: ``fire:<n_steps>`` (e.g. ``MDX_ROLLOUT_CORRECT=fire:8``).
+    Off by default — the corrector is a full-representation rescue lever;
+    committed backbone-family artifacts stay reproducible without it.
+    """
+    import os
+
+    spec = os.environ.get(env, "")
+    if not spec:
+        return None
+    mode, _, steps = spec.partition(":")
+    if mode != "fire":
+        raise ValueError(f"{env} mode must be 'fire', got {mode!r}")
+    return make_frame_corrector(ff, w_mean, w_std, n_steps=int(steps or 8))
