@@ -59,3 +59,37 @@ class SchNet(nn.Module):
         if self.readout == "sum":
             return jnp.sum(out, axis=-2)
         return out
+
+
+class SchNetHNN(nn.Module):
+    """SchNet-backbone scalar-field pair for the Mol-HNN line.
+
+    The reference swaps the MLP Hamiltonian for a hand-rolled SchNet whose
+    per-atom 2-channel readout sums over atoms to the (F1, F2) fields
+    (Hamiltonian/Mol-HNN-cuda-v4.2/cuda_nn_models.py:90-149: a Conv1d
+    embedding of the velocity channels, 3 interaction blocks whose
+    continuous filters read exp(-d_ij) of the position half, atomwise
+    head summed over atoms). Drop-in for ``models.hnn.HNN`` — same
+    ``x (2*3N,) -> (2,)`` contract and ``field_type`` attribute, so
+    ``time_derivative``/``rollout`` and the whole HNN trainer reuse.
+    """
+
+    n_atoms: int
+    features: int = 64
+    n_interactions: int = 3
+    field_type: str = "solenoidal"  # models.hnn.time_derivative contract
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        n = self.n_atoms
+        pos = x[: 3 * n].reshape(n, 3)
+        vel = x[3 * n :].reshape(n, 3)
+        dist = distance_matrix(pos)
+        h = nn.Dense(self.features)(vel)  # velocity-channel embedding
+        for _ in range(self.n_interactions):
+            v = nn.Dense(self.features)(h)
+            v = CfConv(self.features)(v, dist)
+            v = nn.Dense(self.features)(shifted_softplus(v))
+            h = h + v
+        out = nn.Dense(2)(shifted_softplus(nn.Dense(self.features // 2)(h)))
+        return jnp.sum(out, axis=-2)  # (2,) == (F1, F2)

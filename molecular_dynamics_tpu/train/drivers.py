@@ -477,7 +477,7 @@ def _run_cgan(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
 
 
 def _run_hnn(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
-             out_dir, names, top, mesh=None):
+             out_dir, names, top, mesh=None, backbone="mlp"):
     import jax
     import jax.numpy as jnp
 
@@ -490,7 +490,15 @@ def _run_hnn(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     # rollout starts and recurrent-unroll windows must not cross them
     seg_lens = [len(t) - 2 for t in traj.trajectories]
     seg_starts = np.cumsum([0] + seg_lens)[:-1]
-    model = HNN(hidden=(200, 200))
+    if backbone == "schnet":
+        # SchNet-backbone Hamiltonian (cuda_nn_models.py:90-149): the
+        # (F1, F2) fields come from continuous-filter convolutions over
+        # the position half instead of a flat MLP
+        from molecular_dynamics_tpu.models.schnet import SchNetHNN
+
+        model = SchNetHNN(n_atoms=ff.n_atoms)
+    else:
+        model = HNN(hidden=(200, 200))
     cfg = HNNTrainConfig(seq_len=10)
     opt, l2_step, informed_step, unroll_step = make_hnn_trainer(
         model, ff, config=cfg
@@ -585,8 +593,9 @@ def _run_hnn(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
         rolls.append(
             np.asarray(frames[:, :half]).reshape(len(frames), -1, 3)
         )
+    tag = "hnn-schnet" if backbone == "schnet" else "hnn"
     _export_xyz(os.path.join(out_dir, "HNN_generated.xyz"), rolls[0], names, top=top)
-    _eval_rollout_ensemble(out_dir, "hnn", rolls, traj)
+    _eval_rollout_ensemble(out_dir, tag, rolls, traj)
     return params
 
 
@@ -2013,6 +2022,7 @@ _FAMILIES = {
     "pretrain": _run_pretrain,
     "cgan": _run_cgan,
     "hnn": _run_hnn,
+    "hnn-schnet": lambda **kw: _run_hnn(backbone="schnet", **kw),
     "lstm": _run_lstm,
     "lstm-nll": lambda **kw: _run_lstm(nll=True, **kw),
     "seq2seq": _run_seq2seq,
