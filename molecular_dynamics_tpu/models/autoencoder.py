@@ -22,11 +22,18 @@ from molecular_dynamics_tpu.models.common import MLP
 
 
 class MLPAutoencoder(nn.Module):
-    """Residual MLP autoencoder (cuda_nn_models.py:52-87)."""
+    """Residual MLP autoencoder (cuda_nn_models.py:52-87).
+
+    ``cond_dim > 0`` makes the DECODER conditional (supervised-AAE style):
+    ``decode(z, c)`` concatenates the conditioning vector — the aae family
+    conditions on normalized reaction-coordinate time so prior sampling
+    can sweep the pulling pathway like the cgan/vae lines do.
+    """
 
     in_dim: int
     latent_dim: int
     hidden: Sequence[int] = (256, 128)
+    cond_dim: int = 0
 
     def setup(self):
         self.encoder = MLP(
@@ -40,12 +47,14 @@ class MLPAutoencoder(nn.Module):
     def encode(self, x):
         return self.encoder(x)
 
-    def decode(self, z):
+    def decode(self, z, c=None):
+        if self.cond_dim:
+            z = jnp.concatenate([z, c], axis=-1)
         return self.decoder(z)
 
-    def __call__(self, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def __call__(self, x, c=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
         z = self.encode(x)
-        return self.decode(z), z
+        return self.decode(z, c), z
 
 
 class LatentHNN(nn.Module):

@@ -874,9 +874,29 @@ def _run_flow(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     frames_all, _ = traj.stacked()
     flat = jnp.asarray(frames_all.reshape(len(frames_all), -1))
     lo, hi = minmax_fit(flat)
-    model = RealNVP(dim=n * 3, n_coupling=6)
+    # recipe knobs (round-4 quality sweep; defaults = round-3 recipe):
+    # TEMB adds Fourier features of the normalized time to the coupling
+    # conditioners (a scalar condition starves the affine nets),
+    # TAU scales the sampling prior (annealed-temperature sampling)
+    n_coupling = int(os.environ.get("MDX_FLOW_COUPLING", 6))
+    width = int(os.environ.get("MDX_FLOW_HIDDEN", 256))
+    temb = int(os.environ.get("MDX_FLOW_TEMB", 0))
+    tau = float(os.environ.get("MDX_FLOW_TAU", 1.0))
+
+    def embed(t):  # (B, 1) normalized time -> (B, 1 + 2*temb)
+        if not temb:
+            return t
+        k = 2.0 * np.pi * jnp.arange(1, temb + 1, dtype=jnp.float32)
+        return jnp.concatenate([t, jnp.sin(t * k), jnp.cos(t * k)], axis=-1)
+
+    model = RealNVP(
+        dim=n * 3, n_coupling=n_coupling, hidden=(width, width),
+        cond_dim=1 + 2 * temb,
+    )
     opt, step = make_flow_trainer(model)
-    params = model.init(key, jnp.zeros((1, n * 3)), jnp.zeros((1, 1)))
+    params = model.init(
+        key, jnp.zeros((1, n * 3)), jnp.zeros((1, 1 + 2 * temb))
+    )
     opt_state = opt.init(params)
     t0 = time.time()
     i = 0
@@ -886,16 +906,16 @@ def _run_flow(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
                 jnp.asarray(frames.reshape(len(frames), -1)), lo, hi
             )
             params, opt_state, loss = step(
-                params, opt_state, x, jnp.asarray(times)[:, None]
+                params, opt_state, x, embed(jnp.asarray(times)[:, None])
             )
             i += 1
             if i % 10 == 0:
                 _log(logger, curves, keeper, params, epoch, i, loss, t0)
     # conditional sweep along the reaction coordinate (the reference's
     # conditional sampling loop over frame indices, cflow.py:488-518)
-    n_gen = 20
-    z = jax.random.normal(key, (n_gen, n * 3))
-    conds = jnp.linspace(0.0, 1.0, n_gen)[:, None]
+    n_gen = int(os.environ.get("MDX_FLOW_NGEN", 20))
+    z = tau * jax.random.normal(key, (n_gen, n * 3))
+    conds = embed(jnp.linspace(0.0, 1.0, n_gen)[:, None])
     samples = model.apply(params, z, conds, method=RealNVP.inverse)
     coords = np.asarray(minmax_unscale(samples, lo, hi)).reshape(n_gen, n, 3)
     _export_xyz(os.path.join(out_dir, "cFlow_generated.xyz"), coords, names, top=top)
@@ -1842,18 +1862,22 @@ def _run_aae(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
 
     n = ff.n_atoms
     feat = n * 3
-    latent = 16
+    latent = int(os.environ.get("MDX_AAE_LATENT", 16))
     raw_traj = traj
     traj, w_mean, w_std = _whitened(traj)
-    ae = MLPAutoencoder(in_dim=feat, latent_dim=latent)
+    # conditional decoder (supervised-AAE): normalized reaction-coordinate
+    # time rides into decode() so prior sampling can SWEEP the pathway —
+    # the unconditional AAE's samples cannot track the evaluator's
+    # time-resolved buckets at all (round-3 weak spot, VERDICT r3 #4)
+    ae = MLPAutoencoder(in_dim=feat, latent_dim=latent, cond_dim=1)
     disc = LatentDiscriminator()
     opt_ae = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
     opt_d = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-4))
 
     @jax.jit
-    def ae_step(ae_params, ae_opt, d_params, x):
+    def ae_step(ae_params, ae_opt, d_params, x, c):
         def loss(p):
-            recon, z = ae.apply(p, x)
+            recon, z = ae.apply(p, x, c)
             rec, g_adv, _ = aae_losses(recon, x, disc.apply(d_params, z))
             return rec + 0.1 * g_adv
 
@@ -1862,8 +1886,8 @@ def _run_aae(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
         return optax.apply_updates(ae_params, updates), ae_opt, val
 
     @jax.jit
-    def d_step(d_params, d_opt, ae_params, key, x):
-        _, z = ae.apply(ae_params, x)
+    def d_step(d_params, d_opt, ae_params, key, x, c):
+        _, z = ae.apply(ae_params, x, c)
         z = jax.lax.stop_gradient(z)
         prior = jax.random.normal(key, z.shape)
 
@@ -1878,27 +1902,35 @@ def _run_aae(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
         return optax.apply_updates(d_params, updates), d_opt, val
 
     key, k1, k2 = jax.random.split(key, 3)
-    ae_params = ae.init(k1, jnp.zeros((1, feat)))
+    ae_params = ae.init(k1, jnp.zeros((1, feat)), jnp.zeros((1, 1)))
     d_params = disc.init(k2, jnp.zeros((1, latent)))
     ae_opt, d_opt = opt_ae.init(ae_params), opt_d.init(d_params)
     t0 = time.time()
     i = 0
     for epoch in range(epochs):
-        for frames, _times in frame_time_batches(traj, batch_size, rng):
+        for frames, times in frame_time_batches(traj, batch_size, rng):
             x = jnp.asarray(frames.reshape(len(frames), -1))
+            c = jnp.asarray(times)[:, None]
             key, sub = jax.random.split(key)
-            ae_params, ae_opt, loss = ae_step(ae_params, ae_opt, d_params, x)
-            d_params, d_opt, _ = d_step(d_params, d_opt, ae_params, sub, x)
+            ae_params, ae_opt, loss = ae_step(
+                ae_params, ae_opt, d_params, x, c
+            )
+            d_params, d_opt, _ = d_step(
+                d_params, d_opt, ae_params, sub, x, c
+            )
             i += 1
             if i % 10 == 0:
                 _log(logger, curves, keeper, ae_params, epoch, i, loss, t0)
-    # generation: decode prior samples (the adversarial training shaped the
-    # code distribution to match the prior, so this is the sampling mode)
+    # generation: decode prior samples along a reaction-coordinate sweep
+    # (the adversarial training shaped the code distribution to match the
+    # prior; the time condition steers each decode to its bucket)
+    n_gen = int(os.environ.get("MDX_AAE_NGEN", 200))
     key, sub = jax.random.split(key)
-    z = jax.random.normal(sub, (20, latent))
-    decoded = ae.apply(ae_params, z, method=MLPAutoencoder.decode)
+    z = jax.random.normal(sub, (n_gen, latent))
+    conds = jnp.linspace(0.0, 1.0, n_gen)[:, None]
+    decoded = ae.apply(ae_params, z, conds, method=MLPAutoencoder.decode)
     coords = unwhiten(
-        np.asarray(decoded).reshape(20, n, 3), w_mean, w_std
+        np.asarray(decoded).reshape(n_gen, n, 3), w_mean, w_std
     )
     _export_xyz(os.path.join(out_dir, "AAE_generated.xyz"), coords, names, top=top)
     _eval_generated(out_dir, "aae", coords, raw_traj)
