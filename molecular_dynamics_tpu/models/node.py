@@ -57,7 +57,8 @@ def rk4_rollout(
     and ``state_bounds=(lo, hi)`` clamps the state to the training
     distribution's support: long autoregressive rollouts of a learned
     field compound one out-of-distribution prediction into divergence,
-    the same failure the GNS rollout clamps guard against.
+    the same failure the GNS rollout clamps guard against;
+    ``corrector`` relaxes each generated state (train.seq.make_frame_corrector).
     """
 
     def body(carry, _):
@@ -67,6 +68,8 @@ def rk4_rollout(
             x_new = x + jnp.clip(x_new - x, -max_step, max_step)
         if state_bounds is not None:
             x_new = jnp.clip(x_new, state_bounds[0], state_bounds[1])
+        if corrector is not None:
+            x_new = corrector(x_new)
         return (x_new, t + dt), x_new
 
     _, traj = jax.lax.scan(body, (x0, jnp.asarray(t0)), None, length=n_steps)

@@ -516,10 +516,14 @@ def make_fused_campaign_op(
     n_pad = ((n + LANE - 1) // LANE) * LANE
     n_shifts = n_pad // 2
     if not pair_mode:
-        # the ring layout's lane rotations dominate past ~2 lane-tiles of
-        # atoms (416 atoms: 853 steps/s ring vs the dense mid-size tier;
-        # docs/VALIDATION.md system-size table) — auto-tier on size
-        pair_mode = "ring" if n_pad <= 2 * LANE else "dense"
+        # ring everywhere: with the 96 MB scoped-VMEM budget the ring
+        # kernel holds its lead at every measured size (416 atoms: 260k
+        # agg steps/s ring vs 82k composed; docs/VALIDATION.md system-size
+        # table). The dense mode is an explicit experimental tier — its
+        # (BR, N, N) slabs fail the Mosaic compile past ~2 lane-tiles
+        # (measured: remote tpu_compile_helper death at 416 atoms), so it
+        # is never auto-selected.
+        pair_mode = "ring"
     if pair_mode not in ("ring", "dense"):
         raise ValueError(f"pair_mode must be ring|dense, got {pair_mode!r}")
     use_dense_pairs = pair_mode == "dense"

@@ -1592,12 +1592,25 @@ def _run_node(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
             f" score {scores[best]:.3f} (final-params score {scores[-1]:.3f})"
         )
 
+    from molecular_dynamics_tpu.train.seq import corrector_from_env
+
+    # bounded corrector attempt on the node family's Rg residual
+    # (VERDICT r3 #7): relax the position half of each solver state
+    pos_correct = corrector_from_env(
+        ff, np.zeros(ff.n_atoms * 3), np.ones(ff.n_atoms * 3)
+    )
+    correct = None
+    if pos_correct is not None:
+        half_dim = x.shape[1] // 2
+        correct = lambda stt: jnp.concatenate(
+            [pos_correct(stt[:half_dim]), stt[half_dim:]]
+        )
     rolls = []
     for st in seg_starts[:8]:
         frames = rk4_rollout(
             hnn_field(model, params), jnp.asarray(x[st]),
             n_steps=roll_len * sub, dt=dt / sub, max_step=max_step,
-            state_bounds=(lo, hi),
+            state_bounds=(lo, hi), corrector=correct,
         )
         frames = frames[sub - 1 :: sub]
         half = frames.shape[1] // 2
@@ -1995,8 +2008,14 @@ def _run_seq2seq_graph(ff, traj, epochs, batch_size, rng, key, logger,
         for r, w in zip(raw_traj.trajectories, traj.trajectories)
     ]
 
-    model = GraphSeq2Seq()
-    opt, step = make_graph_seq2seq_trainer(model, decode_len)
+    model = GraphSeq2Seq(
+        hidden_size=int(os.environ.get("MDX_GSEQ_HIDDEN", 64)),
+        k=int(os.environ.get("MDX_GSEQ_K", 6)),
+        noise_scale=float(os.environ.get("MDX_GSEQ_NOISE", 0.5)),
+    )
+    opt, step = make_graph_seq2seq_trainer(
+        model, decode_len, lr=float(os.environ.get("MDX_GSEQ_LR", 1e-3))
+    )
     params = model.init(
         key, jnp.zeros((n, history, 5)), jax.random.PRNGKey(0), decode_len
     )

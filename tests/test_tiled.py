@@ -237,14 +237,17 @@ class TestDensePairMode:
                 ffm, pair_mode="dense", gb=True, interpret=True
             )
 
-    def test_auto_mode_picks_dense_past_two_lane_tiles(self):
+    def test_auto_mode_stays_ring(self):
+        # dense is never auto-selected: its (BR, N, N) slabs fail the
+        # Mosaic compile past ~2 lane-tiles (measured at 416 atoms)
         from molecular_dynamics_tpu.ops.fused_step import (
             make_fused_campaign_op,
         )
 
         ff4, _, _ = tiled_decaalanine(4)
         adv = make_fused_campaign_op(ff4, n_inner=1, interpret=True)
-        assert adv.block_r == 8  # dense-mode default block
-        ff1, _, _ = tiled_decaalanine(1)
-        adv1 = make_fused_campaign_op(ff1, n_inner=1, interpret=True)
-        assert adv1.block_r == 64  # ring-mode default block
+        assert adv.block_r == 64  # ring-mode default block
+        advd = make_fused_campaign_op(
+            ff4, n_inner=1, pair_mode="dense", interpret=True
+        )
+        assert advd.block_r == 8  # dense-mode default block
