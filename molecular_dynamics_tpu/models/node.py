@@ -50,6 +50,7 @@ def rk4_rollout(
     t0: float = 0.0,
     max_step: float = None,
     state_bounds=None,
+    corrector=None,
 ) -> jnp.ndarray:
     """Fixed-step RK4 rollout as one scan; returns (n_steps, ...) states.
 
