@@ -431,21 +431,21 @@ def fused_campaign_fits(n_atoms: int) -> bool:
 
     The kernel's design point is the replica-campaign regime: whole-system
     state plus pair/shift/bonded tables stay VMEM-resident across
-    ``n_inner`` steps — speed-of-light at reference scale (104 atoms:
-    2.2M agg steps/s) but inverted past ~2 lane-tiles of atoms, where the
-    ~n_pad^2 residents force tiny replica blocks and idle the MXU:
-    measured 416 atoms -> 853 steps/s fused vs 79,976 composed, and
-    1,040 atoms exceeds the scoped-VMEM ceiling outright
-    (docs/VALIDATION.md, system-size table). ``simulate_ensemble``
-    auto-dispatches on this predicate so a scaled-up molecule silently
-    takes the fast composed-XLA path instead of a pathological kernel or
-    a crash; set ``MDX_FUSED_FORCE=1`` to force the kernel anyway (tier
-    measurements, tests).
+    ``n_inner`` steps. With the 96 MB scoped-VMEM budget this wins at
+    every size that compiles: 104 atoms 2.2M agg steps/s (vs 1.02M
+    composed), 416 atoms 259.8k (vs 82.4k composed-XLA) — but past ~4
+    lane-tiles of atoms the Mosaic compile itself becomes pathological
+    (measured: 1,040 atoms never finishes compiling and can crash the
+    TPU worker). ``simulate_ensemble`` auto-dispatches on this predicate
+    so a scaled-up molecule silently takes the composed-XLA path instead
+    of a compile hang; set ``MDX_FUSED_FORCE=1`` to force the kernel
+    anyway (tier measurements, tests). Measured tiers:
+    docs/VALIDATION.md system-size table.
     """
     if os.environ.get("MDX_FUSED_FORCE", "0") == "1":
         return True
     n_pad = ((n_atoms + LANE - 1) // LANE) * LANE
-    return n_pad <= 2 * LANE
+    return n_pad <= 4 * LANE
 
 
 def make_fused_campaign_op(

@@ -366,14 +366,14 @@ def simulate_ensemble(
         from molecular_dynamics_tpu.ops.fused_step import fused_campaign_fits
 
         if not fused_campaign_fits(ff.n_atoms):
-            # past the kernel's VMEM design point the composed XLA path is
-            # 40-90x faster (docs/VALIDATION.md system-size table) — take
-            # it silently instead of a pathological kernel or a VMEM crash
+            # past ~4 lane-tiles of atoms the kernel's Mosaic compile is
+            # pathological (docs/VALIDATION.md system-size table) — take
+            # the composed XLA path instead of a compile hang
             warnings.warn(
                 f"fused_campaign requested but the system ({ff.n_atoms} "
                 "atoms) is past the VMEM-resident kernel's design point; "
-                "dispatching to the composed XLA path (40-90x faster at "
-                "this scale; MDX_FUSED_FORCE=1 forces the kernel)",
+                "dispatching to the composed XLA path "
+                "(MDX_FUSED_FORCE=1 forces the kernel)",
                 stacklevel=2,
             )
             use_campaign = False

@@ -123,10 +123,10 @@ class TestCampaignAutoDispatch:
         monkeypatch.delenv("MDX_FUSED_FORCE", raising=False)
         assert fused_campaign_fits(104)   # reference scale: kernel tier
         assert fused_campaign_fits(208)   # 2 lane-tiles: parity-pinned tier
-        assert not fused_campaign_fits(416)
-        assert not fused_campaign_fits(1040)
+        assert fused_campaign_fits(416)   # measured 3.2x the composed path
+        assert not fused_campaign_fits(1040)  # Mosaic compile pathological
         monkeypatch.setenv("MDX_FUSED_FORCE", "1")
-        assert fused_campaign_fits(416)
+        assert fused_campaign_fits(1040)
 
     def test_oversized_system_dispatches_composed(self, monkeypatch):
         import warnings as _w
@@ -140,7 +140,7 @@ class TestCampaignAutoDispatch:
         from molecular_dynamics_tpu.system import replicate
 
         monkeypatch.delenv("MDX_FUSED_FORCE", raising=False)
-        ffm, cm, _ = tiled_decaalanine(4)  # 416 atoms
+        ffm, cm, _ = tiled_decaalanine(8)  # 1040 atoms: composed tier
         cfg = SimulationConfig(
             dt_fs=0.5, fused_campaign=True, energy=REFERENCE_CONFIG
         )
