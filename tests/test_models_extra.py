@@ -223,3 +223,23 @@ class TestTrajectoryAnalysis:
         out = rmsf(np.stack(frames))
         assert out.shape == (15,)
         assert out.max() < 1e-6  # pure rigid motion -> no fluctuation
+
+
+class TestGraphSeq2Seq:
+    def test_shapes_and_graph_conditioning(self):
+        import jax
+        import jax.numpy as jnp
+
+        from molecular_dynamics_tpu.models.gat import GraphSeq2Seq
+
+        n, t, f = 12, 6, 5
+        model = GraphSeq2Seq(hidden_size=16, k=4)
+        key = jax.random.PRNGKey(0)
+        window = jax.random.normal(key, (n, t, f))
+        params = model.init(key, window, jax.random.PRNGKey(1), 3)
+        out = model.apply(params, window, jax.random.PRNGKey(2), 3)
+        assert out.shape == (n, 3, f)
+        assert bool(jnp.isfinite(out).all())
+        # noise-fed decoder: different keys give different rollouts
+        out2 = model.apply(params, window, jax.random.PRNGKey(3), 3)
+        assert float(jnp.abs(out - out2).max()) > 0.0
