@@ -569,6 +569,11 @@ class TestSASAMultipleTimestepping:
 
         kw = dict(n_inner=20, temperature=300.0)
         t1, rg1 = stats(self._vacuum_sasa_op(ff, sasa_every=1, **kw))
-        t5, rg5 = stats(self._vacuum_sasa_op(ff, sasa_every=5, **kw))
-        assert abs(t5 - t1) < 60.0, f"T {t1:.1f} vs {t5:.1f} K"
-        assert abs(rg5 - rg1) < 0.25, f"Rg {rg1:.2f} vs {rg5:.2f} A"
+        # k=5 is the bench default (1.058x north star); k=10 (1.144x) is
+        # the documented aggressive option — both must hold the ensemble
+        for k in (5, 10):
+            tk, rgk = stats(self._vacuum_sasa_op(ff, sasa_every=k, **kw))
+            assert abs(tk - t1) < 60.0, f"k={k}: T {t1:.1f} vs {tk:.1f} K"
+            assert abs(rgk - rg1) < 0.25, (
+                f"k={k}: Rg {rg1:.2f} vs {rgk:.2f} A"
+            )
