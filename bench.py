@@ -119,6 +119,7 @@ def run_case(ff, pos, gbis: bool, sasa: bool, constrain: bool) -> float:
             # slow-force MTS pattern); physical parity vs every-step is
             # pinned by tests/test_fused_campaign.py
             sasa_every=int(os.environ.get("MDX_BENCH_SASA_EVERY", 5)),
+            gb_every=int(os.environ.get("MDX_BENCH_GB_EVERY", 1)),
             block_r=int(os.environ.get("MDX_BENCH_CBLOCK", 128 if not gbis else 64)),
         )
     else:

@@ -468,6 +468,7 @@ def make_fused_campaign_op(
     sasa: bool = False,  # in-kernel LCPO SASA nonpolar term (NAMD sasa on)
     surface_tension: float = 0.005,
     sasa_every: int = 1,  # slow-force cadence: LCPO held for k steps (MTS)
+    gb_every: int = 1,  # GB slow-force cadence (impulse/Verlet-I r-RESPA)
     block_r: int = 0,  # 0 -> pair-mode default (ring: 64, dense: 8)
     pair_mode: str = "",  # "" -> auto: ring <= 2 lane-tiles, dense above
     interpret: bool = False,
@@ -510,6 +511,21 @@ def make_fused_campaign_op(
     Requires ``n_inner % sasa_every == 0``. The program still contains
     exactly one instance of the dense pass and one of the fast-force
     body (nested fori_loops, no lax.cond), so compile cost is unchanged.
+
+    ``gb_every=k > 1`` multiple-timesteps the ENTIRE GB polar force with
+    the impulse (Verlet-I/r-RESPA) splitting: the slow force (Still pair
+    + Born self + descreening chain, isolated as fused-minus-plain ring
+    sweeps plus the chain pass) is evaluated once per k-step block and
+    enters as half-block velocity kicks at the block boundaries; the
+    per-step force evaluation inside the block is the plain pair loop.
+    The impulse form is the symplectic-correct one — two naive schedules
+    are measured rejects on the NVE trace (held radii: +0.47 kcal/mol
+    per 50 steps at k=2; held whole-GB force: -1.5 per 50 steps), while
+    the impulse form holds +-0.02 at k=2 and a bounded ~0.5 wobble at
+    k=5 (tests/test_fused_gb.py::TestGBMultipleTimestepping). When
+    combined with ``sasa_every > 1`` the cadences must be equal and the
+    LCPO force rides the same impulse. Requires ``n_inner % gb_every ==
+    0``; rigid-bond runs RATTLE-project the impulse kicks.
     Arrays are (R, N, 3); t0 int32 scalar; seed int32 scalar.
     """
     n = ff.n_atoms
@@ -719,6 +735,24 @@ def make_fused_campaign_op(
             f"sasa_every={sasa_every} must divide n_inner={n_inner} "
             "(the held-force blocks tile the launch exactly)"
         )
+    gb_every = int(gb_every) if gb else 1
+    if gb_every < 1:
+        raise ValueError(f"gb_every must be >= 1, got {gb_every}")
+    if gb_every > 1:
+        if n_inner % gb_every:
+            raise ValueError(
+                f"gb_every={gb_every} must divide n_inner={n_inner} "
+                "(the held-radii blocks tile the launch exactly)"
+            )
+        if _GB_ABLATE:
+            raise ValueError(
+                "MDX_GB_ABLATE debug knobs require gb_every=1"
+            )
+        if use_sasa and sasa_every > 1 and sasa_every != gb_every:
+            raise ValueError(
+                f"combined cadences must align: sasa_every={sasa_every} "
+                f"!= gb_every={gb_every} (one shared block structure)"
+            )
 
     ring_kw = dict(
         cutoff2=float(cutoff) ** 2,
@@ -1413,8 +1447,21 @@ def make_fused_campaign_op(
                     _mm(sfz_ref[:], sselt),
                 )
 
-        def forces(x, y, z, t_step):
-            if use_gb:
+        def forces(x, y, z, t_step, fast_only=False):
+            if use_gb and fast_only:
+                # impulse-MTS inner eval (gb_every > 1): the GB(+SASA)
+                # slow force enters as half-block kicks at the block
+                # boundaries (Verlet-I/r-RESPA splitting); the per-step
+                # force is the plain pair loop only. Two naive schedules
+                # were measured rejects on the NVE trace: held RADII
+                # (+0.47 kcal/mol per 50 steps at k=2 — frozen radii
+                # deform the potential surface) and held whole-GB FORCE
+                # (-1.5 per 50 steps at k=2 — the GB force is too large
+                # and fast-varying for constant-force extrapolation).
+                fx, fy, fz, _ = ring_pair_forces(
+                    x, y, z, pair_tabs, **ring_kw
+                )
+            elif use_gb:
                 # Born radii first; the Still pair force then rides the
                 # main ring loop's geometry (one sweep instead of two)
                 if _GB_ABLATE == "noborn":
@@ -1646,7 +1693,97 @@ def make_fused_campaign_op(
             vx_ref[:], vy_ref[:], vz_ref[:],
             fx_ref[:], fy_ref[:], fz_ref[:],
         )
-        if use_sasa and sasa_every > 1:
+        if use_gb and gb_every > 1:
+            # Held-radii r-RESPA: Born radii (and, when aligned, the held
+            # LCPO force) refresh once per k-step block at block-entry
+            # positions; the Still pair force runs every step at current
+            # geometry with the held radii; the descreening chain force is
+            # evaluated on the block's first step (whose Still pass
+            # provides der, and the entry born_pass's cached dI rows feed
+            # the chain sweep) and held for the rest of the block — the
+            # same slow-force MTS pattern NAMD uses, now covering the two
+            # most expensive GB sub-passes. Program cost: TWO step_body
+            # instances (first/held) instead of one.
+            kgb = gb_every
+            hold_sasa = use_sasa and sasa_every > 1
+
+            def gb_force_delta(x, y, z):
+                # whole GB polar force at these positions: (fused ring -
+                # plain ring) isolates the Still pair term, plus the Born
+                # self term's dE/dR and the descreening chain force
+                born, born_inv, d_born_dpsi = born_pass(x, y, z)
+                ffx, ffy, ffz, _, der = ring_pair_forces(
+                    x, y, z, pair_tabs,
+                    gb={
+                        "born": born,
+                        "born_inv": born_inv,
+                        "uprime": _gb_uprime,
+                        "qq_t": gqq_full,
+                    },
+                    **ring_kw,
+                )
+                pfx, pfy, pfz, _ = ring_pair_forces(
+                    x, y, z, pair_tabs, **ring_kw
+                )
+                der = der - 0.5 * gqs * _gb_uprime(born, born_inv)
+                ce = der * d_born_dpsi * (0.5 * grho)
+                cfx, cfy, cfz = gb_chain_pass(x, y, z, ce)
+                return ffx - pfx + cfx, ffy - pfy + cfy, ffz - pfz + cfz
+
+            def slow_force(x, y, z):
+                gfx, gfy, gfz = gb_force_delta(x, y, z)
+                if hold_sasa:
+                    sgx, sgy, sgz = sasa_pass(x, y, z)
+                    gfx = gfx + sgx
+                    gfy = gfy + sgy
+                    gfz = gfz + sgz
+                return gfx, gfy, gfz
+
+            def slow_kick(carry, gf):
+                # half-block impulse: v += (k dt / 2) F_slow / m, then
+                # project constrained velocity components (RATTLE)
+                x, y, z, vx, vy, vz, fx, fy, fz = carry
+                hk = 0.5 * kgb * dt
+                vx = vx + hk * gf[0] * minv
+                vy = vy + hk * gf[1] * minv
+                vz = vz + hk * gf[2] * minv
+                if use_cons:
+                    vx, vy, vz = rattle(vx, vy, vz, x, y, z)
+                return (x, y, z, vx, vy, vz, fx, fy, fz)
+
+            def feval_fast(xx, yy, zz, tt):
+                return forces(xx, yy, zz, tt, fast_only=True)
+
+            def blockg(j, state):
+                carry, gf = state[:9], state[9:]
+                carry = slow_kick(carry, gf)
+                carry = jax.lax.fori_loop(
+                    0, kgb,
+                    lambda i, c: step_body(j * kgb + i, c, feval_fast),
+                    carry,
+                )
+                gf = slow_force(carry[0], carry[1], carry[2])
+                carry = slow_kick(carry, gf)
+                return tuple(carry) + tuple(gf)
+
+            # carried force is FAST-only inside this mode: peel the slow
+            # component off the incoming total force (both were evaluated
+            # at the same entry positions) and restore it on the way out
+            gf0 = slow_force(init_carry[0], init_carry[1], init_carry[2])
+            fast_init = init_carry[:6] + (
+                init_carry[6] - gf0[0],
+                init_carry[7] - gf0[1],
+                init_carry[8] - gf0[2],
+            )
+            state = jax.lax.fori_loop(
+                0, n_inner // kgb, blockg, fast_init + gf0
+            )
+            out = state[:6] + (
+                state[6] + state[9],
+                state[7] + state[10],
+                state[8] + state[11],
+            )
+        elif use_sasa and sasa_every > 1:
             # Held-force MTS: one LCPO evaluation per k-step block, at the
             # block-entry positions (= where the carried total force was
             # last evaluated). The carried force stays the TOTAL force —

@@ -82,6 +82,14 @@ class SimulationConfig:
     #: Rg/temperature statistics, NVE drift vs every-step) is pinned by
     #: tests/test_fused_campaign.py.
     sasa_every: int = 1
+    #: GB slow-force cadence for the in-kernel GB-OBC pass (impulse /
+    #: Verlet-I r-RESPA): the whole GB polar force is evaluated once per
+    #: ``gb_every`` steps and enters as half-block velocity kicks at the
+    #: block boundaries; per-step evals run the plain pair loop. Must
+    #: divide ``save_every``; when combined with ``sasa_every > 1`` the
+    #: two cadences must be equal (the LCPO force rides the same
+    #: impulse). Physical soundness pinned by tests/test_fused_gb.py.
+    gb_every: int = 1
 
 
 def make_step_fn(
@@ -411,6 +419,7 @@ def simulate_ensemble(
             sasa=campaign_sasa,
             surface_tension=config.energy.surface_tension,
             sasa_every=config.sasa_every if campaign_sasa else 1,
+            gb_every=config.gb_every if campaign_gb else 1,
             # the Mosaic kernel has no CPU lowering; interpret mode keeps
             # fused_campaign configs runnable in the CPU test environment
             interpret=jax.default_backend() != "tpu",

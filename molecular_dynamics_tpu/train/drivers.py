@@ -1310,8 +1310,12 @@ def _run_sde(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     )
     disc = CDEDiscriminator(data_dim=feat)
     cfg = SDEGANConfig(
-        gp_weight=10.0, adam=True, lr_g=2e-4, lr_d=1e-3,
+        gp_weight=float(os.environ.get("MDX_SDE_GP", 10.0)),
+        adam=True,
+        lr_g=float(os.environ.get("MDX_SDE_LR_G", 2e-4)),
+        lr_d=float(os.environ.get("MDX_SDE_LR_D", 1e-3)),
         moment_weight=float(os.environ.get("MDX_SDE_MOMENT", 1.0)),
+        swa_decay=float(os.environ.get("MDX_SDE_SWA", 0.99)),
     )
     init_fn, (opt_g, opt_d), g_step, d_step, _, swa_update = (
         make_sde_gan_trainer(gen, disc, ts, ff=None, config=cfg)
@@ -1375,6 +1379,20 @@ def _run_sde(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     # a small fake sample would overstate the gap vs that floor.
     key, sub = jax.random.split(key)
     fake = gen.apply(g_avg, sub, ts, 1024)
+    fake_np = np.asarray(fake)
+    finite = np.isfinite(fake_np).all(axis=tuple(range(1, fake_np.ndim)))
+    if not finite.all():
+        # a diverged GAN run must report, not crash the driver: score the
+        # finite subset (empty -> sentinel metrics) so eval.json and the
+        # regression guards still see the failure as a bad number
+        print(
+            f"sde: {int((~finite).sum())}/{len(finite)} generated paths "
+            "non-finite (diverged run); evaluating the finite subset"
+        )
+        fake_np = fake_np[finite]
+        if not len(fake_np):
+            fake_np = np.zeros((1,) + fake.shape[1:], np.float32)
+    fake = fake_np
     coords = unwhiten(
         np.asarray(fake).reshape(-1, n, 3), w_mean, w_std
     )

@@ -230,7 +230,17 @@ def main():
         "'datasets/backbone_smd/raw-traj_rep-*.npy' --epochs 16` (without "
         "`--data` each family bootstraps its own on-device SMD dataset). "
         "lstm-nll samples autoregressive rollouts from its Gaussian head "
-        "(the reference Alpha/LSTM-NLL predict-and-emit capability).",
+        "(the reference Alpha/LSTM-NLL predict-and-emit capability). "
+        "Non-default recipes behind the committed rows: flow trains 64 "
+        "epochs with `MDX_FLOW_TEMB=8` (Fourier time features for the "
+        "coupling conditioners; scalar conditioning plateaus at 1.69 A); "
+        "aae trains 64 epochs with the conditional (supervised-AAE) "
+        "decoder, latent 16 (latent 32 measured worse, 1.46 A); "
+        "seq2seq-graph trains 64 epochs at hidden 64 (hidden 128 measured "
+        "worse, 3.97 A). Measured rejects: rollout FIRE-correction on "
+        "node (Rg err 1.46 unchanged, e2e slightly worse); sde diverges "
+        "past ~16 epochs (critic collapse at 32/48 ep, all paths "
+        "non-finite) — its committed row stays the 16-epoch recipe.",
         "",
         "The evaluator buckets the end-to-end distance per trajectory by "
         "*normalized time* and compares generated rollouts bucket-by-bucket "

@@ -577,3 +577,134 @@ class TestSASAMultipleTimestepping:
             assert abs(rgk - rg1) < 0.25, (
                 f"k={k}: Rg {rg1:.2f} vs {rgk:.2f} A"
             )
+
+
+class TestGBMultipleTimestepping:
+    """``gb_every=k``: impulse (Verlet-I/r-RESPA) MTS for the whole GB
+    polar force — evaluated once per k-step block, applied as half-block
+    velocity kicks at the block boundaries; per-step evals are the plain
+    pair loop. Same soundness bar as the SASA cadence: deterministic
+    trajectory bound, NVE energy-trace bound (the discriminating test:
+    both naive held-quantity schedules fail it secularly — see the
+    kernel docstring), thermostatted ensemble statistics."""
+
+    def _gb_op(self, ff, **over):
+        from molecular_dynamics_tpu.energy import GBIS_POLAR_CONFIG
+
+        kw = dict(
+            n_inner=10, dt_fs=2.0, temperature=0.0, gamma_ps=1.0,
+            cutoff=GBIS_POLAR_CONFIG.cutoff,
+            switch_dist=GBIS_POLAR_CONFIG.switch_dist,
+            rfa=GBIS_POLAR_CONFIG.rfa,
+            solvent_dielectric=GBIS_POLAR_CONFIG.solvent_dielectric,
+            gb=True,
+            ion_concentration=GBIS_POLAR_CONFIG.ion_concentration,
+            block_r=8, interpret=True,
+        )
+        kw.update(over)
+        return make_fused_campaign_op(ff, **kw)
+
+    def _state(self, ff, pos, R=2):
+        n = ff.n_atoms
+        vel = maxwell_boltzmann(jax.random.PRNGKey(3), ff.masses, 300.0)
+        pos_b = jnp.broadcast_to(pos, (R, n, 3)).astype(jnp.float32)
+        vel_b = jnp.broadcast_to(vel, (R, n, 3)).astype(jnp.float32)
+        pot = lambda q: total_energy(q, ff, config=GBIS_POLAR_CONFIG)
+        f0 = jax.vmap(lambda p: -jax.grad(pot)(p))(pos_b)
+        return pos_b, vel_b, f0, pot
+
+    def test_held_radii_trajectory_bound(self, gb_system):
+        ff, pos = gb_system
+        pos_b, vel_b, f0, _ = self._state(ff, pos)
+        run = lambda adv: jax.jit(
+            lambda a, b, c: adv(a, b, c, jnp.int32(0), jnp.int32(1))
+        )(pos_b, vel_b, f0)
+        p1, _, _ = run(self._gb_op(ff, gb_every=1))
+        p5, _, _ = run(self._gb_op(ff, gb_every=5))
+        dev = float(jnp.max(jnp.abs(p5 - p1)))
+        assert np.isfinite(np.asarray(p5)).all()
+        assert dev < 5e-3, f"held-radii deviation {dev:.2e} A over 10 steps"
+
+    def test_invalid_cadences_rejected(self, gb_system):
+        ff, _ = gb_system
+        with pytest.raises(ValueError, match="must divide n_inner"):
+            self._gb_op(ff, n_inner=10, gb_every=3)
+        with pytest.raises(ValueError, match="cadences must align"):
+            self._gb_op(
+                ff, n_inner=10, gb_every=5, sasa=True, sasa_every=2
+            )
+
+    def test_nve_energy_trace_matches_every_step(self, gb_system):
+        from molecular_dynamics_tpu.integrate import kinetic_energy
+
+        ff, pos = gb_system
+        pos_b, vel_b, f0, pot = self._state(ff, pos, R=1)
+
+        def trace(adv, n_launch=2):
+            p, v, f = pos_b, vel_b, f0
+            es = []
+            for i in range(n_launch):
+                p, v, f = jax.jit(
+                    lambda a, b, c: adv(
+                        a, b, c, jnp.int32(0), jnp.int32(1 + i)
+                    )
+                )(p, v, f)
+                es.append(float(pot(p[0]) + kinetic_energy(v[0], ff.masses)))
+            return np.asarray(es)
+
+        kw = dict(n_inner=50, dt_fs=1.0, gamma_ps=0.0)
+        e1 = trace(self._gb_op(ff, gb_every=1, **kw))
+        # k=2: the impulse splitting tracks the every-step trace almost
+        # exactly (measured +-0.02 kcal/mol over 300 steps); k=5 shows a
+        # BOUNDED ~0.5 kcal/mol wobble with no secular term (the naive
+        # held-radii / held-force schedules drift 10x that, monotonically)
+        e2 = trace(self._gb_op(ff, gb_every=2, **kw))
+        dev2 = float(np.max(np.abs(e2 - e1)))
+        assert dev2 < 0.1, (
+            f"impulse-MTS k=2 energy-trace deviation {dev2:.4f} kcal/mol"
+        )
+        e5 = trace(self._gb_op(ff, gb_every=5, **kw))
+        dev5 = float(np.max(np.abs(e5 - e1)))
+        assert dev5 < 1.0, (
+            f"impulse-MTS k=5 energy-trace deviation {dev5:.4f} kcal/mol"
+        )
+
+    def test_thermostatted_statistics_match(self, gb_system):
+        from molecular_dynamics_tpu.integrate import kinetic_energy
+        from molecular_dynamics_tpu import units
+
+        ff, pos = gb_system
+        R = 4
+        pos_b, vel_b, f0, _ = self._state(ff, pos, R=R)
+        masses = jnp.asarray(ff.masses, jnp.float32)
+
+        def stats(adv, launches=2):
+            p, v, f = pos_b, vel_b, f0
+            temps, rgs = [], []
+            for i in range(launches):
+                p, v, f = jax.jit(
+                    lambda a, b, c: adv(
+                        a, b, c, jnp.int32(0), jnp.int32(7 + i)
+                    )
+                )(p, v, f)
+                ke = jax.vmap(lambda vv: kinetic_energy(vv, ff.masses))(v)
+                temps.append(
+                    np.asarray(2.0 * ke / (3 * ff.n_atoms * units.BOLTZMANN))
+                )
+                com = jnp.sum(
+                    masses[:, None] * p, axis=1, keepdims=True
+                ) / jnp.sum(masses)
+                rg = jnp.sqrt(
+                    jnp.sum(
+                        masses[None, :] * jnp.sum((p - com) ** 2, -1), -1
+                    )
+                    / jnp.sum(masses)
+                )
+                rgs.append(np.asarray(rg))
+            return np.mean(temps), np.mean(rgs)
+
+        kw = dict(n_inner=20, temperature=300.0)
+        t1, rg1 = stats(self._gb_op(ff, gb_every=1, **kw))
+        t5, rg5 = stats(self._gb_op(ff, gb_every=5, **kw))
+        assert abs(t5 - t1) < 60.0, f"T {t1:.1f} vs {t5:.1f} K"
+        assert abs(rg5 - rg1) < 0.25, f"Rg {rg1:.2f} vs {rg5:.2f} A"

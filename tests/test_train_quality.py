@@ -34,9 +34,9 @@ DATA = os.path.join(REPO, "datasets", "backbone_smd", "raw-traj_rep-*.npy")
 # docs/TRAINING.md table (regenerations may wobble, not regress).
 ARTIFACT_CEILING = {
     #          e2e mean   Rg err
-    "aae": (3.0, 0.6),
+    "aae": (1.9, 0.6),
     "cgan": (0.85, 0.6),
-    "flow": (2.6, 0.6),
+    "flow": (1.5, 0.6),
     "gat": (2.3, 0.6),
     "hnn": (1.1, 0.6),
     "lstm": (1.5, 0.6),
@@ -46,6 +46,7 @@ ARTIFACT_CEILING = {
     "pretrain": (1.0, 0.6),
     "sde": (2.8, 0.6),
     "seq2seq": (1.3, 0.6),
+    "seq2seq-graph": (3.8, 0.6),
     "seq2seq-gan": (1.6, 0.6),
     "transformer": (1.9, 0.6),
     "vae": (1.7, 0.6),
