@@ -237,7 +237,12 @@ def main():
         "aae trains 64 epochs with the conditional (supervised-AAE) "
         "decoder, latent 16 (latent 32 measured worse, 1.46 A); "
         "seq2seq-graph trains 64 epochs at hidden 64 (hidden 128 measured "
-        "worse, 3.97 A). Measured rejects: rollout FIRE-correction on "
+        "worse, 3.97 A); hnn-schnet uses the Gaussian RBF distance "
+        "expansion (`MDX_SCHNET_RBF=32` default — the reference's bare "
+        "exp(-d) filter kernel is blind past a few Angstrom and scores "
+        "9.06 A) at 16 epochs (32 epochs overfits the unroll phase: "
+        "13.4 A, Rg blown to 19.7). Measured rejects: rollout "
+        "FIRE-correction on "
         "node (Rg err 1.46 unchanged, e2e slightly worse); sde diverges "
         "past ~16 epochs (critic collapse at 32/48 ep, all paths "
         "non-finite) — its committed row stays the 16-epoch recipe.",

@@ -39,6 +39,7 @@ ARTIFACT_CEILING = {
     "flow": (1.5, 0.6),
     "gat": (2.3, 0.6),
     "hnn": (1.1, 0.6),
+    "hnn-schnet": (1.6, 1.1),
     "lstm": (1.5, 0.6),
     "lstm-gat": (1.0, 0.8),
     "lstm-nll": (1.4, 0.6),
