@@ -2124,9 +2124,45 @@ def _run_seq2seq_graph(ff, traj, epochs, batch_size, rng, key, logger,
     from molecular_dynamics_tpu.evaluate import unwhiten
 
     roll_len = int(np.mean([len(t) for t in traj.trajectories]))
+    # rollout refeaturization (MDX_GSEQ_REFEAT=0 disables): recompute the
+    # phi/psi channels of every decoded segment from its own predicted
+    # geometry, exactly as atom_feats builds them for training — the
+    # model's predicted angle channels otherwise drift out of consistency
+    # with its predicted coordinates over the chained rollout
+    refeature = None
+    if (os.environ.get("MDX_GSEQ_REFEAT", "1") == "1"
+            and len(phi_idx) and len(psi_idx)):
+        mean_j = jnp.asarray(w_mean, jnp.float32)
+        std_j = jnp.asarray(w_std, jnp.float32)
+        phi_idx_j, psi_idx_j = jnp.asarray(phi_idx), jnp.asarray(psi_idx)
+        phi_row_j, psi_row_j = jnp.asarray(phi_row), jnp.asarray(psi_row)
+
+        def refeature(seg):  # (N, L, 5)
+            xyz_w = jnp.swapaxes(seg[..., :3], 0, 1)  # (L, N, 3)
+            pos = (
+                xyz_w.reshape(xyz_w.shape[0], -1) * std_j + mean_j
+            ).reshape(xyz_w.shape)
+            ph, ps = jax.vmap(
+                lambda p: phi_psi(p, phi_idx_j, psi_idx_j)
+            )(pos)
+            a_phi = jnp.where(
+                phi_row_j >= 0, ph[:, jnp.clip(phi_row_j, 0, None)], 0.0
+            )
+            a_psi = jnp.where(
+                psi_row_j >= 0, ps[:, jnp.clip(psi_row_j, 0, None)], 0.0
+            )
+            return jnp.concatenate(
+                [
+                    seg[..., :3],
+                    jnp.swapaxes(a_phi, 0, 1)[..., None],
+                    jnp.swapaxes(a_psi, 0, 1)[..., None],
+                ],
+                axis=-1,
+            )
+
     roll = jax.jit(
         lambda p, w0, k: graph_chained_decode_rollout(
-            model, p, w0, k, decode_len, roll_len
+            model, p, w0, k, decode_len, roll_len, refeature=refeature
         )
     )
     rolls = []

@@ -268,15 +268,25 @@ def make_graph_seq2seq_trainer(
 
 
 def graph_chained_decode_rollout(model, params, window, key,
-                                 decode_len: int, n_steps: int):
+                                 decode_len: int, n_steps: int,
+                                 refeature=None):
     """Chained trained-horizon decodes for per-atom (N, T, F) windows —
     the graph family's generation mode (same schedule as
-    ``chained_decode_rollout``). Returns (~n_steps, N, F)."""
+    ``chained_decode_rollout``). Returns (~n_steps, N, F).
+
+    ``refeature`` (optional, jit-safe ``(N, L, F) -> (N, L, F)``) rebuilds
+    the derived feature channels (phi/psi torsions) of each decoded
+    segment from its own predicted geometry before feedback. Without it
+    the model's *predicted* angle channels drift out of consistency with
+    its predicted coordinates over the chained rollout, feeding the
+    encoder windows it never saw in training."""
 
     def body(carry, _):
         w, k = carry
         k, sub = jax.random.split(k)
         seg = model.apply(params, w, sub, decode_len)  # (N, L, F)
+        if refeature is not None:
+            seg = refeature(seg)
         w = jnp.concatenate([w[:, decode_len:], seg], axis=1)
         return (w, k), jnp.swapaxes(seg, 0, 1)
 
@@ -312,19 +322,31 @@ def make_frame_corrector(
     n = ff.n_atoms
     mean = jnp.asarray(w_mean, jnp.float32)
     std = jnp.asarray(w_std, jnp.float32)
-    force = lambda p: -jax.grad(
+    raw_force = lambda p: -jax.grad(
         lambda q: total_energy(q, ff, config=cfg)
     )(p)
+
+    def force(p):
+        # full-representation frames can carry r -> 0 clashes whose LJ
+        # force overflows f32 to inf; FIRE's f/|f| mixing then turns the
+        # whole frame NaN (measured: 104-atom lstm rollout all-NaN).
+        # Saturate to a finite ceiling — the trust region bounds the step
+        # anyway, only the direction matters on a clash.
+        f = jnp.nan_to_num(raw_force(p), nan=0.0, posinf=1e4, neginf=-1e4)
+        return jnp.clip(f, -1e4, 1e4)
 
     def correct(flat):
         pos = (flat * std + mean).reshape(n, 3)
         # trust region 0.05 A/component/step: generated frames can carry
         # clashes with |F| ~ 1e6 — unclamped FIRE throws atoms km away
-        pos = minimize_fire(
+        relaxed = minimize_fire(
             pos, force, n_steps=n_steps, dt_start=dt_start, dt_max=dt_max,
             max_disp=0.05,
         )
-        return (pos.reshape(-1) - mean) / std
+        # belt-and-braces: a diverged relaxation must not poison the
+        # rollout — fall back to the uncorrected frame
+        relaxed = jnp.where(jnp.isfinite(relaxed).all(), relaxed, pos)
+        return (relaxed.reshape(-1) - mean) / std
 
     return correct
 

@@ -266,3 +266,34 @@ class TestGraphSeq2Seq:
         # noise-fed decoder: different keys give different rollouts
         out2 = model.apply(params, window, jax.random.PRNGKey(3), 3)
         assert float(jnp.abs(out - out2).max()) > 0.0
+
+    def test_chained_rollout_refeature(self):
+        """The refeature hook rebuilds derived channels of every decoded
+        segment from its own geometry before feedback; the rollout must
+        carry the rebuilt channels, and stay finite/jittable."""
+        import jax
+        import jax.numpy as jnp
+
+        from molecular_dynamics_tpu.models.gat import GraphSeq2Seq
+        from molecular_dynamics_tpu.train.seq import (
+            graph_chained_decode_rollout,
+        )
+
+        n, t, f = 8, 6, 5
+        model = GraphSeq2Seq(hidden_size=16, k=4)
+        key = jax.random.PRNGKey(0)
+        window = jax.random.normal(key, (n, t, f))
+        params = model.init(key, window, jax.random.PRNGKey(1), 3)
+
+        def refeature(seg):  # pin the derived channels to a marker value
+            return seg.at[..., 3:].set(0.25)
+
+        roll = jax.jit(
+            lambda p, w, k: graph_chained_decode_rollout(
+                model, p, w, k, decode_len=3, n_steps=9,
+                refeature=refeature,
+            )
+        )(params, window, jax.random.PRNGKey(2))
+        assert roll.shape == (9, n, f)
+        assert bool(jnp.isfinite(roll).all())
+        assert float(jnp.abs(roll[..., 3:] - 0.25).max()) == 0.0
