@@ -26,12 +26,13 @@ from molecular_dynamics_tpu.train.drivers import _whitened
 from molecular_dynamics_tpu.train.seq import (
     autoregressive_rollout,
     make_frame_corrector,
+    make_langevin_corrector,
 )
 
 
 def main():
     run_dir = sys.argv[1]
-    fire_steps = [int(a) for a in sys.argv[2:]] or [8]
+    fire_specs = sys.argv[2:] or ["8"]  # "<n>" or "<n>:pin[<fk>]"
     ff, _, _ = decaalanine_full()
     n = ff.n_atoms
     feat = n * 3
@@ -77,11 +78,22 @@ def main():
         )
 
     score(None, "no-corrector")
-    for ns in fire_steps:
-        score(
-            make_frame_corrector(ff, w_mean, w_std, n_steps=ns),
-            f"fire:{ns}",
+    for spec in fire_specs:
+        parts = spec.split(":")
+        mode = parts[0] if parts[0] in ("fire", "langevin") else "fire"
+        if parts[0] in ("fire", "langevin"):
+            parts = parts[1:]
+        maker = (
+            make_langevin_corrector if mode == "langevin"
+            else make_frame_corrector
         )
+        kwargs = {"n_steps": int(parts[0])}
+        if len(parts) > 1:
+            assert parts[1].startswith("pin"), spec
+            kwargs["pin_groups"] = (0, n - 1)
+            if parts[1][3:]:
+                kwargs["pin_fk"] = float(parts[1][3:])
+        score(maker(ff, w_mean, w_std, **kwargs), f"{mode}:{':'.join(parts)}")
 
 
 if __name__ == "__main__":

@@ -304,6 +304,90 @@ class TestFrameCorrector:
         # trust region: 6 steps x 0.05 A/component max displacement
         assert float(jnp.abs(out - flat).max()) <= 6 * 0.05 + 1e-6
 
+    def test_pinned_corrector_holds_colvar(self):
+        """pin_groups holds each frame's own end-to-end distance through
+        the relaxation (restrained minimization along the SMD colvar) —
+        the unpinned relaxation measurably collapses it."""
+        import jax
+        import jax.numpy as jnp
+
+        from molecular_dynamics_tpu.examples import decaalanine_backbone
+        from molecular_dynamics_tpu.examples.decaalanine import (
+            BACKBONE_FF_PRM,
+        )
+        from molecular_dynamics_tpu.ff import YamlForceField, build_ff_params
+        from molecular_dynamics_tpu.train.seq import make_frame_corrector
+
+        top, coords = decaalanine_backbone()
+        ff = build_ff_params(top, YamlForceField(BACKBONE_FF_PRM))
+        n = ff.n_atoms
+        mean, std = np.zeros(n * 3), np.ones(n * 3)
+        key = jax.random.PRNGKey(1)
+        noisy = jnp.asarray(coords, jnp.float32) + 0.3 * jax.random.normal(
+            key, (n, 3), jnp.float32
+        )
+        flat = noisy.reshape(-1)
+        e2e = lambda q: float(
+            jnp.linalg.norm(q.reshape(n, 3)[n - 1] - q.reshape(n, 3)[0])
+        )
+        d0 = e2e(flat)
+
+        pinned = make_frame_corrector(
+            ff, mean, std, n_steps=24, pin_groups=(0, n - 1), pin_fk=200.0
+        )
+        free = make_frame_corrector(ff, mean, std, n_steps=24)
+        out_pin = jax.jit(pinned)(flat)
+        out_free = jax.jit(free)(flat)
+        assert bool(jnp.isfinite(out_pin).all())
+        dev_pin = abs(e2e(out_pin) - d0)
+        dev_free = abs(e2e(out_free) - d0)
+        assert dev_pin < 0.15, f"pinned colvar moved {dev_pin:.3f} A"
+        assert dev_pin < dev_free, (dev_pin, dev_free)
+
+    def test_langevin_corrector(self):
+        """Thermostatted corrector: relaxes a clash-laden frame (energy
+        drops) while staying finite and respecting the per-step trust
+        region; the pinned variant holds the colvar."""
+        import jax
+        import jax.numpy as jnp
+
+        from molecular_dynamics_tpu.energy import (
+            REFERENCE_CONFIG,
+            total_energy,
+        )
+        from molecular_dynamics_tpu.examples import decaalanine_backbone
+        from molecular_dynamics_tpu.examples.decaalanine import (
+            BACKBONE_FF_PRM,
+        )
+        from molecular_dynamics_tpu.ff import YamlForceField, build_ff_params
+        from molecular_dynamics_tpu.train.seq import make_langevin_corrector
+
+        top, coords = decaalanine_backbone()
+        ff = build_ff_params(top, YamlForceField(BACKBONE_FF_PRM))
+        n = ff.n_atoms
+        mean, std = np.zeros(n * 3), np.ones(n * 3)
+        key = jax.random.PRNGKey(1)
+        noisy = jnp.asarray(coords, jnp.float32) + 0.3 * jax.random.normal(
+            key, (n, 3), jnp.float32
+        )
+        flat = noisy.reshape(-1)
+        e = lambda q: float(
+            total_energy(q.reshape(n, 3), ff, config=REFERENCE_CONFIG)
+        )
+        e2e = lambda q: float(
+            jnp.linalg.norm(q.reshape(n, 3)[n - 1] - q.reshape(n, 3)[0])
+        )
+        correct = make_langevin_corrector(
+            ff, mean, std, n_steps=20, pin_groups=(0, n - 1), pin_fk=200.0
+        )
+        out = jax.jit(correct)(flat)
+        assert bool(jnp.isfinite(out).all())
+        assert e(out) < e(flat)  # the burst relaxed the clash energy
+        assert float(jnp.abs(out - flat).max()) <= 20 * 0.05 + 1e-5
+        assert abs(e2e(out) - e2e(flat)) < 0.5
+        # deterministic map (content-derived key): same frame, same output
+        assert float(jnp.abs(jax.jit(correct)(flat) - out).max()) == 0.0
+
     def test_corrector_from_env(self, monkeypatch):
         from molecular_dynamics_tpu.examples import decaalanine_backbone
         from molecular_dynamics_tpu.examples.decaalanine import (
@@ -320,6 +404,13 @@ class TestFrameCorrector:
         assert corrector_from_env(ff, z, o) is None
         monkeypatch.setenv("MDX_ROLLOUT_CORRECT", "fire:4")
         assert corrector_from_env(ff, z, o) is not None
+        monkeypatch.setenv("MDX_ROLLOUT_CORRECT", "fire:4:pin100")
+        assert corrector_from_env(ff, z, o) is not None
+        monkeypatch.setenv("MDX_ROLLOUT_CORRECT", "langevin:6:pin")
+        assert corrector_from_env(ff, z, o) is not None
         monkeypatch.setenv("MDX_ROLLOUT_CORRECT", "bogus:4")
         with pytest.raises(ValueError, match="fire"):
+            corrector_from_env(ff, z, o)
+        monkeypatch.setenv("MDX_ROLLOUT_CORRECT", "fire:4:bogus")
+        with pytest.raises(ValueError, match="pin"):
             corrector_from_env(ff, z, o)
