@@ -116,3 +116,46 @@ def phase_space_pairs(
         xs.append(x[:-1])
         dxs.append(dx)
     return np.concatenate(xs), np.concatenate(dxs)
+
+
+class PerAtomMinMaxScaler:
+    """Per-atom-per-coordinate min-max scaling to [0, 1], invertible.
+
+    The Alpha line's feature pipeline (Alpha/scale_features.py:20-66,
+    ``normalizedData``/``inversedData``) fits one sklearn ``MinMaxScaler``
+    per (atom, coordinate) in a double Python loop — here the whole fit is
+    two vectorized reductions over the frame axis and transform/inverse
+    are broadcast affine maps (shape-stable, jit-friendly on device).
+    Degenerate channels (min == max) transform to 0 and invert exactly.
+    """
+
+    def __init__(self, frames: np.ndarray):
+        frames = np.asarray(frames)
+        if frames.ndim != 3:
+            raise ValueError(
+                f"expected (frames, atoms, 3), got {frames.shape}"
+            )
+        self.lo = frames.min(axis=0)  # (N, 3)
+        span = frames.max(axis=0) - self.lo
+        self.span = np.where(span > 0, span, 1.0)
+
+    def transform(self, frames: np.ndarray) -> np.ndarray:
+        return (np.asarray(frames) - self.lo) / self.span
+
+    def inverse(self, scaled: np.ndarray) -> np.ndarray:
+        return np.asarray(scaled) * self.span + self.lo
+
+
+def bucket_bounds(chunk: int, bucket_size: int = 1000,
+                  overlap: int = 20) -> Tuple[int, int]:
+    """Frame bounds of the Alpha line's overlapping training buckets.
+
+    Bucket 1 is ``[0, bucket_size)``; every later bucket starts
+    ``overlap`` frames before its nominal boundary so chained windows see
+    continuous history across buckets (Alpha/getBucket.py:3-15 semantics:
+    chunk 2 of size 1000 = frames 980..2000).
+    """
+    if chunk < 1:
+        raise ValueError(f"chunk is 1-based, got {chunk}")
+    start = (chunk - 1) * bucket_size - (overlap if chunk > 1 else 0)
+    return int(start), int(chunk * bucket_size)

@@ -48,6 +48,31 @@ class TestDatasets:
         # invariant the reference asserts (HNN-Full.py:82): x + dx == next x
         np.testing.assert_allclose(x[0] + dx[0], x[1], rtol=1e-5, atol=1e-5)
 
+    def test_per_atom_minmax_scaler_roundtrip(self, rng):
+        from molecular_dynamics_tpu.train.datasets import PerAtomMinMaxScaler
+
+        frames = rng.normal(size=(50, 7, 3)) * 5.0 + 3.0
+        frames[:, 2, 1] = 4.2  # degenerate channel (min == max)
+        sc = PerAtomMinMaxScaler(frames)
+        s = sc.transform(frames)
+        assert s.min() >= 0.0 and s.max() <= 1.0 + 1e-12
+        assert np.allclose(s[:, 2, 1], 0.0)  # degenerate -> 0, no div-0
+        np.testing.assert_allclose(sc.inverse(s), frames, atol=1e-10)
+        with pytest.raises(ValueError, match="frames, atoms"):
+            PerAtomMinMaxScaler(frames.reshape(50, -1))
+
+    def test_bucket_bounds_reference_semantics(self):
+        from molecular_dynamics_tpu.train.datasets import bucket_bounds
+
+        # Alpha/getBucket.py docstring cases: chunk 1 = 0..1000,
+        # chunk 2 = 980..2000, chunk 3 = 1980..3000
+        assert bucket_bounds(1) == (0, 1000)
+        assert bucket_bounds(2) == (980, 2000)
+        assert bucket_bounds(3) == (1980, 3000)
+        assert bucket_bounds(2, bucket_size=100, overlap=5) == (95, 200)
+        with pytest.raises(ValueError, match="1-based"):
+            bucket_bounds(0)
+
 
 class TestLosses:
     def test_potential_loss_batched_equals_mean(self, backbone_system, rng):
