@@ -47,7 +47,11 @@ def main():
         "(GAN_V12.3.1/test.py:31-55) plus radius-of-gyration statistics. "
         "`mean_abs_error` is the bucketed end-to-end-distance discrepancy "
         "in Angstrom (lower = generated ensemble matches the data's "
-        "pulling pathway).",
+        "pulling pathway). `std_abs_error` in the extras column is the "
+        "ensemble-*spread* mismatch (mean |std_gen - std_data| per "
+        "bucket) — watch it alongside the mean: e.g. the round-3 "
+        "lstm-nll retrain improved mean 1.65 -> 0.90 but regressed "
+        "spread 0.82 -> 1.51, a trade-off the mean column alone hides.",
         "",
         "| family | e2e mean err (A) | e2e max err (A) | Rg err (A) | "
         "extras | train wall (s) | epochs |",
