@@ -1321,6 +1321,7 @@ def _run_sde(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
         lr_g=float(os.environ.get("MDX_SDE_LR_G", 2e-4)),
         lr_d=float(os.environ.get("MDX_SDE_LR_D", 1e-3)),
         moment_weight=float(os.environ.get("MDX_SDE_MOMENT", 1.0)),
+        quantile_weight=float(os.environ.get("MDX_SDE_QUANTILE", 0.0)),
         swa_decay=float(os.environ.get("MDX_SDE_SWA", 0.99)),
     )
     init_fn, (opt_g, opt_d), g_step, d_step, _, swa_update = (

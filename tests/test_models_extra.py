@@ -53,6 +53,46 @@ class TestSDEGAN:
         avg = swa(g_params, g_params, 0)
         assert jax.tree.structure(avg) == jax.tree.structure(g_params)
 
+    def test_quantile_matching_aux(self):
+        """quantile_weight adds the empirical-W1 marginal term: the g-loss
+        must shift by exactly mean|sort(fake) - sort(real)| (same key ->
+        same fake batch), and stay finite/differentiable."""
+        from molecular_dynamics_tpu.models.sde import (
+            CDEDiscriminator,
+            SDEGenerator,
+        )
+        from molecular_dynamics_tpu.train.sde import (
+            SDEGANConfig,
+            make_sde_gan_trainer,
+        )
+
+        ts = jnp.linspace(0.0, 1.0, 5)
+        gen = SDEGenerator(data_dim=6, latent_dim=8, noise_dim=2, hidden=(16,))
+        disc = CDEDiscriminator(data_dim=6, hidden_dim=8, f_hidden=(16,))
+        real = jax.random.normal(jax.random.PRNGKey(3), (4, 5, 6))
+
+        def g_loss(quantile_weight):
+            init_fn, opts, g_step, _, _, _ = make_sde_gan_trainer(
+                gen, disc, ts,
+                config=SDEGANConfig(quantile_weight=quantile_weight),
+            )
+            g_params, d_params = init_fn(KEY, 4)
+            g_opt = opts[0].init(g_params)
+            new_params, _, gl = g_step(g_params, g_opt, d_params, KEY, real)
+            return g_params, new_params, float(gl)
+
+        g_params, _, base = g_loss(0.0)
+        _, stepped, with_q = g_loss(1.0)
+        fake = gen.apply(g_params, KEY, ts, 4)
+        w1 = float(
+            jnp.mean(jnp.abs(jnp.sort(fake, 0) - jnp.sort(real, 0)))
+        )
+        assert w1 > 0.0
+        np.testing.assert_allclose(with_q - base, w1, rtol=1e-4)
+        assert np.isfinite(
+            max(float(jnp.max(jnp.abs(l))) for l in jax.tree.leaves(stepped))
+        )
+
 
 class TestSchNet:
     def test_forward(self):
