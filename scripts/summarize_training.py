@@ -229,6 +229,21 @@ def main():
         ]
     lines += [
         "",
+        "Physics-corrector rollouts (`MDX_ROLLOUT_CORRECT=<fire|langevin>:"
+        "n[:pin[fk]]`) partially rescue the full-rep autoregressive "
+        "collapse by relaxing each generated frame through the "
+        "differentiable force field — a capability the reference stack "
+        "does not have. Full-rep lstm sweep "
+        "(scripts/scratch_eval_lstm_corr.py; baseline 4.85 A e2e / "
+        "1.87 A Rg): FIRE minimization peaks at 16 steps (3.50 / 0.47) "
+        "then degrades as deeper minimization leaves the 300 K manifold "
+        "(fire:32 with a pinned colvar still 4.55); short thermostatted "
+        "Langevin bursts with the colvar pinned do best — "
+        "`langevin:10:pin` 2.77 / 0.40, `langevin:10:pin200` 2.94 with "
+        "Rg err 0.063. Deeper bursts degrade again (langevin:20 -> "
+        "5.4 A): the correction must stay a small perturbation of the "
+        "predicted frame, not a re-simulation.",
+        "",
         "Reproduce: `bash scripts/run_campaign.sh runs_r3 16` or per family "
         "`python -m molecular_dynamics_tpu.cli train <family> --data "
         "'datasets/backbone_smd/raw-traj_rep-*.npy' --epochs 16` (without "
@@ -245,11 +260,18 @@ def main():
         "expansion (`MDX_SCHNET_RBF=32` default — the reference's bare "
         "exp(-d) filter kernel is blind past a few Angstrom and scores "
         "9.06 A) at 16 epochs (32 epochs overfits the unroll phase: "
-        "13.4 A, Rg blown to 19.7). Measured rejects: rollout "
-        "FIRE-correction on "
-        "node (Rg err 1.46 unchanged, e2e slightly worse); sde diverges "
-        "past ~16 epochs (critic collapse at 32/48 ep, all paths "
-        "non-finite) — its committed row stays the 16-epoch recipe.",
+        "13.4 A, Rg blown to 19.7). Measured trade-off on node's Rg "
+        "residual (the table's worst structural metric): corrector "
+        "rollouts shrink Rg err but give back e2e — fire:16:pin 1.36 A "
+        "e2e / 1.05 A Rg, langevin:10:pin 1.52 / 0.69, vs the committed "
+        "1.07 / 1.47 — neither dominates, so the committed row stays the "
+        "uncorrected rollout and the corrector knob is documented for "
+        "users who weight Rg. Measured rejects: node auxiliary fine-tune "
+        "losses (Rg-MSE, dist-matrix MSE) and half-length probe "
+        "checkpoint selection all made e2e several-fold worse. sde's "
+        "bare 32/48-epoch retrains diverge (critic collapse, all paths "
+        "non-finite); evaluator-probed snapshot selection rescues the "
+        "pre-collapse checkpoints.",
         "",
         "The evaluator buckets the end-to-end distance per trajectory by "
         "*normalized time* and compares generated rollouts bucket-by-bucket "
