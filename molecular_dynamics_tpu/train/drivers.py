@@ -2161,6 +2161,93 @@ def _run_seq2seq_graph(ff, traj, epochs, batch_size, rng, key, logger,
                 axis=-1,
             )
 
+    # unrolled fine-tune through the EXACT chained-decode + refeature
+    # generation map (the gat/node/lstm cure applied to the graph family):
+    # backprop MDX_GSEQ_FT_SEGS chained segments against the true future
+    # frames so drift compounding across segment boundaries — which the
+    # 1-segment trainer never sees — is penalized directly. Loss matches
+    # the trainer's (whitened position MSE + mirrored-pair e2e MSE).
+    ft_segs = int(os.environ.get("MDX_GSEQ_FT_SEGS", 4))
+    ft_epochs = int(os.environ.get("MDX_GSEQ_FT_EPOCHS", 4))
+    if ft_epochs > 0 and ft_segs > 0:
+        import optax
+
+        ft_w = ft_segs * decode_len
+        fw0, ftg = [], []
+        for f_arr in feats:
+            for s in range(
+                0, len(f_arr) - history - ft_w, max(1, ft_w // 2)
+            ):
+                fw0.append(f_arr[s : s + history].transpose(1, 0, 2))
+                ftg.append(f_arr[s + history : s + history + ft_w])
+        if fw0:
+            keeper.rebase()  # rollout-MSE regime, not 1-segment MSE
+            fw0 = np.stack(fw0).astype(np.float32)  # (B, N, H, F)
+            ftg = np.stack(ftg).astype(np.float32)  # (B, W, N, F)
+            ft_opt = optax.chain(
+                optax.clip_by_global_norm(1.0),
+                optax.adam(float(os.environ.get("MDX_GSEQ_FT_LR", 2e-5))),
+            )
+            ft_state = ft_opt.init(params)
+
+            def _e2e(pos):  # (..., N, 3) mirrored pair distances
+                half = pos.shape[-2] // 2
+                return jnp.linalg.norm(
+                    pos[..., :half, :] - jnp.flip(pos, -2)[..., :half, :],
+                    axis=-1,
+                )
+
+            @jax.jit
+            def ft_step(params, ft_state, key, w0b, tgt):
+                def unroll_one(p, w, k):
+                    def body(carry, _):
+                        ww, kk = carry
+                        kk, sub = jax.random.split(kk)
+                        seg = model.apply(p, ww, sub, decode_len)
+                        if refeature is not None:
+                            seg = refeature(seg)
+                        ww = jnp.concatenate(
+                            [ww[:, decode_len:], seg], axis=1
+                        )
+                        return (ww, kk), jnp.swapaxes(seg, 0, 1)
+
+                    (_, _), segs = jax.lax.scan(
+                        body, (w, k), None, length=ft_segs
+                    )
+                    # (W, N, F) — same map as graph_chained_decode_rollout
+                    return segs.reshape(-1, *segs.shape[-2:])
+
+                def loss(p):
+                    keys = jax.random.split(key, w0b.shape[0])
+                    pred = jax.vmap(
+                        lambda w, k: unroll_one(p, w, k)
+                    )(w0b, keys)
+                    val = jnp.mean((pred[..., :3] - tgt[..., :3]) ** 2)
+                    return val + jnp.mean(
+                        (_e2e(pred[..., :3]) - _e2e(tgt[..., :3])) ** 2
+                    )
+
+                val, grads = jax.value_and_grad(loss)(params)
+                updates, ft_state = ft_opt.update(grads, ft_state, params)
+                return optax.apply_updates(params, updates), ft_state, val
+
+            ft_bs = max(4, batch_size // 2)
+            for epoch in range(ft_epochs):
+                order = rng.permutation(len(fw0))
+                for s in range(0, len(order) - ft_bs + 1, ft_bs):
+                    sel = order[s : s + ft_bs]
+                    key, sub = jax.random.split(key)
+                    params, ft_state, loss = ft_step(
+                        params, ft_state, sub, jnp.asarray(fw0[sel]),
+                        jnp.asarray(ftg[sel]),
+                    )
+                    i += 1
+                    if i % 10 == 0:
+                        _log(
+                            logger, curves, keeper, params,
+                            epochs + epoch, i, loss, t0,
+                        )
+
     roll = jax.jit(
         lambda p, w0, k: graph_chained_decode_rollout(
             model, p, w0, k, decode_len, roll_len, refeature=refeature
