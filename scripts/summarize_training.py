@@ -253,8 +253,10 @@ def main():
         "Non-default recipes behind the committed rows: flow trains 64 "
         "epochs with `MDX_FLOW_TEMB=8` (Fourier time features for the "
         "coupling conditioners; scalar conditioning plateaus at 1.69 A); "
-        "aae trains 64 epochs with the conditional (supervised-AAE) "
-        "decoder, latent 16 (latent 32 measured worse, 1.46 A); "
+        "aae trains 128 epochs with the conditional (supervised-AAE) "
+        "decoder, latent 16, and evaluator-probed snapshot selection "
+        "every 2 epochs (`MDX_AAE_PROBE=2`) — 64 epochs plateaus at "
+        "1.24 A, latent 32 measured worse (1.46 A); "
         "seq2seq-graph trains 64 epochs at hidden 64 (hidden 128 measured "
         "worse, 3.97 A); hnn-schnet uses the Gaussian RBF distance "
         "expansion (`MDX_SCHNET_RBF=32` default — the reference's bare "
