@@ -258,7 +258,11 @@ def main():
         "every 2 epochs (`MDX_AAE_PROBE=2`) — 64 epochs plateaus at "
         "1.24 A, latent 32 measured worse (1.46 A); "
         "seq2seq-graph trains 64 epochs at hidden 64 (hidden 128 measured "
-        "worse, 3.97 A); hnn-schnet uses the Gaussian RBF distance "
+        "worse, 3.97 A) followed by the unrolled fine-tune through its "
+        "chained-decode + refeaturization generation map "
+        "(MDX_GSEQ_FT_SEGS=4 segments; 2.49 A -> 1.01 A — the same "
+        "train/generate map-mismatch cure as gat/lstm/node); "
+        "hnn-schnet uses the Gaussian RBF distance "
         "expansion (`MDX_SCHNET_RBF=32` default — the reference's bare "
         "exp(-d) filter kernel is blind past a few Angstrom and scores "
         "9.06 A) at 16 epochs (32 epochs overfits the unroll phase: "
