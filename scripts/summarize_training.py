@@ -185,6 +185,15 @@ def main():
                 except ValueError:
                     pass
             sec = sec[:cut]
+            # the physics-corrector paragraph is part of the script's own
+            # unconditional epilogue (appended below for every layout) —
+            # strip ALL copies from the carried text or each regeneration
+            # would add one more (the round-4 quintuplication bug)
+            corr_marker = "Physics-corrector rollouts (`MDX_ROLLOUT_CORRECT"
+            try:
+                sec = sec[: sec.index(corr_marker)]
+            except ValueError:
+                pass
             lines += ["", sec.rstrip()]
             carried = True
             break

@@ -30,27 +30,32 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RUNS = os.path.join(REPO, "runs_r3")
 DATA = os.path.join(REPO, "datasets", "backbone_smd", "raw-traj_rep-*.npy")
 
-# Golden ceilings for the committed round-3 artifacts: ~1.5x the
-# docs/TRAINING.md table (regenerations may wobble, not regress).
+# Golden ceilings for the committed artifacts: ~1.5x the docs/TRAINING.md
+# table (regenerations may wobble, not regress). Re-calibrated each round
+# after retrains — round-4 lifted aae/flow/sde/seq2seq-graph far below the
+# round-3 ceilings, which had become toothless (a 3.7x seq2seq-graph
+# regression would have passed the old 3.8 ceiling).
+# Rg ceilings: max(1.5x value, 0.45) — sub-0.1 A Rg errors are eval noise,
+# a tighter bound would flake on platform numerics.
 ARTIFACT_CEILING = {
-    #          e2e mean   Rg err
-    "aae": (1.9, 0.6),
-    "cgan": (0.85, 0.6),
-    "flow": (1.5, 0.6),
-    "gat": (2.3, 0.6),
-    "hnn": (1.1, 0.6),
-    "hnn-schnet": (1.6, 1.1),
-    "lstm": (1.5, 0.6),
-    "lstm-gat": (1.0, 0.8),
-    "lstm-nll": (1.4, 0.6),
-    "node": (1.7, 2.3),
-    "pretrain": (1.0, 0.6),
-    "sde": (2.8, 0.6),
-    "seq2seq": (1.3, 0.6),
-    "seq2seq-graph": (3.8, 0.6),
-    "seq2seq-gan": (1.6, 0.6),
-    "transformer": (1.9, 0.6),
-    "vae": (1.7, 0.6),
+    #          e2e mean   Rg err     (TRAINING.md: e2e, Rg)
+    "aae": (1.6, 0.45),             # 1.037, 0.167
+    "cgan": (0.85, 0.45),           # 0.547, 0.261
+    "flow": (1.5, 0.45),            # 0.975, 0.106
+    "gat": (2.3, 0.45),             # 1.489, 0.089
+    "hnn": (1.1, 0.45),             # 0.702, 0.161
+    "hnn-schnet": (1.6, 1.1),       # 1.057, 0.732
+    "lstm": (1.5, 0.45),            # 0.984, 0.027
+    "lstm-gat": (1.0, 0.6),         # 0.646, 0.359
+    "lstm-nll": (1.4, 0.45),        # 0.899, 0.093
+    "node": (1.7, 2.3),             # 1.074, 1.469
+    "pretrain": (1.0, 0.45),        # 0.648, 0.012
+    "sde": (2.8, 0.45),             # 1.939, 0.050
+    "seq2seq": (1.3, 0.45),         # 0.810, 0.117
+    "seq2seq-graph": (1.6, 0.45),   # 1.013, 0.115
+    "seq2seq-gan": (1.6, 0.45),     # 1.060, 0.034
+    "transformer": (1.9, 0.45),     # 1.249, 0.100
+    "vae": (1.7, 0.45),             # 1.106, 0.230
 }
 
 
@@ -74,8 +79,8 @@ class TestCommittedArtifacts:
     def test_sde_marginal_tv(self):
         with open(os.path.join(RUNS, "sde", "eval.json")) as f:
             m = json.load(f)
-        assert m["marginal_tv_mean"] <= 0.33, (
-            "sde marginal TV regressed past 1.5x the round-3 value (0.217)"
+        assert m["marginal_tv_mean"] <= 0.24, (
+            "sde marginal TV regressed past 1.5x the round-4 value (0.157)"
         )
 
 
