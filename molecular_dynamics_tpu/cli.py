@@ -356,7 +356,7 @@ def main(argv=None) -> int:
 
     p_tr = sub.add_parser("train", help="train a model family")
     p_tr.add_argument("family", choices=[
-        "pretrain", "cgan", "hnn", "hnn-schnet", "lstm", "lstm-nll", "seq2seq",
+        "pretrain", "cgan", "hnn", "hnn-schnet", "hnn-latent", "lstm", "lstm-nll", "seq2seq",
         "seq2seq-graph", "seq2seq-gan", "lstm-gat", "aae", "flow", "vae", "transformer",
         "gat", "sde", "node",
     ])

@@ -80,6 +80,12 @@ class LatentHNN(nn.Module):
         fields = self.hnn(z)
         return recon, z, fields
 
+    def encode(self, x):
+        return self.ae.encode(x)
+
+    def decode(self, z):
+        return self.ae.decode(z)
+
 
 class LatentDiscriminator(nn.Module):
     """Critic on latent codes for adversarial autoencoders."""

@@ -259,7 +259,10 @@ def _eval_generated(out_dir, family, generated, traj, extra=None,
         json.dump(metrics, f, indent=1)
     print(
         f"{family} eval: "
-        + ", ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items()))
+        + ", ".join(
+            f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
+            for k, v in sorted(metrics.items())
+        )
     )
     return metrics
 
@@ -2267,6 +2270,119 @@ def _run_seq2seq_graph(ff, traj, epochs, batch_size, rng, key, logger,
     return params
 
 
+def _run_hnn_latent(ff, traj, epochs, batch_size, rng, key, logger, keeper,
+                    curves, out_dir, names, top, mesh=None):
+    """PixelHNN: autoencode frames to a small latent phase space, learn
+    Hamiltonian dynamics there, generate by latent rollout + decode
+    (Hamiltonian/Mol-HNN-cuda-v4.2/cuda_hnn.py:75-98 — the reference
+    defines PixelHNN but never trains it on MD data; this driver does).
+
+    Loss per consecutive whitened frame pair (x_t, x_{t+1}):
+    AE reconstruction + decoded next-frame prediction through one latent
+    Euler step z + f(z), + a latent-consistency term against encode(x_{t+1})
+    (stop-gradient — the dynamics chases the encoder, not vice versa).
+    Recipe knobs: MDX_LHNN_LATENT (default 16, must be even for the (q, p)
+    split), MDX_LHNN_LAT_W (latent-consistency weight).
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from molecular_dynamics_tpu.evaluate import unwhiten
+    from molecular_dynamics_tpu.models.autoencoder import LatentHNN
+    from molecular_dynamics_tpu.models.hnn import HNN, rollout, time_derivative
+
+    n = ff.n_atoms
+    feat = n * 3
+    raw_traj = traj
+    traj, w_mean, w_std = _whitened(traj)
+    model = LatentHNN(
+        in_dim=feat, latent_dim=int(os.environ.get("MDX_LHNN_LATENT", 16))
+    )
+    # adapter onto the inner HNN submodule: its params live under the
+    # 'hnn' scope, so models.hnn.time_derivative/rollout apply unchanged
+    inner = HNN(hidden=tuple(model.hnn_hidden))
+    inner_params = lambda p: {"params": p["params"]["hnn"]}
+    params = model.init(key, jnp.zeros((1, feat)))
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    x0l, x1l = [], []
+    for t_arr in traj.trajectories:
+        flat = t_arr.reshape(len(t_arr), feat)
+        x0l.append(flat[:-1])
+        x1l.append(flat[1:])
+    x0 = np.concatenate(x0l).astype(np.float32)
+    x1 = np.concatenate(x1l).astype(np.float32)
+    lam = float(os.environ.get("MDX_LHNN_LAT_W", 1.0))
+
+    @jax.jit
+    def step(params, opt_state, xb, xb1):
+        def loss(p):
+            recon, z, _ = model.apply(p, xb)
+            z1 = model.apply(p, xb1, method=LatentHNN.encode)
+            z1_pred = z + time_derivative(inner, inner_params(p), z)
+            x1_pred = model.apply(p, z1_pred, method=LatentHNN.decode)
+            return (
+                jnp.mean((recon - xb) ** 2)
+                + jnp.mean((x1_pred - xb1) ** 2)
+                + lam
+                * jnp.mean((z1_pred - jax.lax.stop_gradient(z1)) ** 2)
+            )
+
+        val, grads = jax.value_and_grad(loss)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, val
+
+    t0 = time.time()
+    i = 0
+    for epoch in range(epochs):
+        order = rng.permutation(len(x0))
+        for s in range(0, len(order) - batch_size + 1, batch_size):
+            sel = order[s : s + batch_size]
+            params, opt_state, loss = step(
+                params, opt_state, jnp.asarray(x0[sel]), jnp.asarray(x1[sel])
+            )
+            i += 1
+            if i % 10 == 0:
+                _log(logger, curves, keeper, params, epoch, i, loss, t0)
+            if i >= 200 * (epoch + 1):
+                break  # bounded epoch, same policy as _run_hnn
+
+    # latent rollout from each data-trajectory start, decoded; the
+    # per-step latent displacement is clamped to the data's latent-dx
+    # support (the same collapse guard as _run_hnn's max_step)
+    roll_len = int(np.mean([len(t) for t in traj.trajectories]))
+    z0_all = np.asarray(
+        model.apply(params, jnp.asarray(x0), method=LatentHNN.encode)
+    )
+    z1_all = np.asarray(
+        model.apply(params, jnp.asarray(x1), method=LatentHNN.encode)
+    )
+    max_step = float(np.quantile(np.abs(z1_all - z0_all), 0.999)) * 2.0
+    rolls = []
+    for t_arr in traj.trajectories[:8]:
+        z_start = model.apply(
+            params,
+            jnp.asarray(t_arr[0].reshape(feat)),
+            method=LatentHNN.encode,
+        )
+        zs = rollout(
+            inner, inner_params(params), z_start, n_steps=roll_len,
+            dt=1.0, max_step=max_step,
+        )
+        frames = model.apply(params, zs, method=LatentHNN.decode)
+        rolls.append(
+            unwhiten(np.asarray(frames).reshape(-1, n, 3), w_mean, w_std)
+        )
+    _export_xyz(
+        os.path.join(out_dir, "LatentHNN_generated.xyz"), rolls[0], names,
+        top=top,
+    )
+    _eval_rollout_ensemble(out_dir, "hnn-latent", rolls, raw_traj)
+    return params
+
+
 _DP_FAMILIES = {"pretrain", "cgan", "lstm", "lstm-nll"}
 
 _FAMILIES = {
@@ -2274,6 +2390,7 @@ _FAMILIES = {
     "cgan": _run_cgan,
     "hnn": _run_hnn,
     "hnn-schnet": lambda **kw: _run_hnn(backbone="schnet", **kw),
+    "hnn-latent": _run_hnn_latent,
     "lstm": _run_lstm,
     "lstm-nll": lambda **kw: _run_lstm(nll=True, **kw),
     "seq2seq": _run_seq2seq,

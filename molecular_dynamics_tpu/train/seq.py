@@ -502,6 +502,19 @@ def corrector_from_env(ff, w_mean, w_std, env="MDX_ROLLOUT_CORRECT"):
     spec = os.environ.get(env, "")
     if not spec:
         return None
+    return corrector_from_spec(ff, w_mean, w_std, spec, what=env)
+
+
+def corrector_from_spec(ff, w_mean, w_std, spec: str, what: str = "spec"):
+    """Build a frame corrector from a ``<mode>:<n>[:pin[<fk>]]`` string.
+
+    The parsing core of :func:`corrector_from_env`, exposed so sweep
+    tooling (scripts/sweep_fullrep_corrector.py) can score many specs
+    against one checkpoint without mutating the environment. ``"none"``
+    or an empty spec returns None (the uncorrected rollout).
+    """
+    if not spec or spec == "none":
+        return None
     parts = spec.split(":")
     makers = {
         "fire": make_frame_corrector,
@@ -509,12 +522,12 @@ def corrector_from_env(ff, w_mean, w_std, env="MDX_ROLLOUT_CORRECT"):
     }
     if parts[0] not in makers:
         raise ValueError(
-            f"{env} mode must be 'fire' or 'langevin', got {parts[0]!r}"
+            f"{what} mode must be 'fire' or 'langevin', got {parts[0]!r}"
         )
     kwargs = {}
     if len(parts) > 2:
         if not parts[2].startswith("pin"):
-            raise ValueError(f"{env} third field must be 'pin[<fk>]'")
+            raise ValueError(f"{what} third field must be 'pin[<fk>]'")
         kwargs["pin_groups"] = (0, ff.n_atoms - 1)
         if parts[2][3:]:
             kwargs["pin_fk"] = float(parts[2][3:])

@@ -94,6 +94,7 @@ LIVE_BUDGET = {
     "node": (8, 1.10),      # measured 0.618 (x32) / 0.180 (x64), ~52 s
     "cgan": (3, 2.60),      # measured 1.511 (x32) / 1.251 (x64), ~42 s
     "lstm": (8, 3.20),      # measured 1.856 (x32) / 1.982 (x64), ~83 s
+    "lstm-gat": (6, 3.00),  # measured 1.842 (x32) / 1.839 (x64), ~4 min 1-core
 }
 
 
