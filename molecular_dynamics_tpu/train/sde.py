@@ -77,9 +77,9 @@ def make_sde_gan_trainer(
         opt_g = optax.adadelta(config.lr_g, weight_decay=config.weight_decay)
         opt_d = optax.adadelta(config.lr_d, weight_decay=config.weight_decay)
 
-    def init_fn(key, batch: int):
+    def init_fn(key, batch: int, cond=None):
         kg, kd = jax.random.split(key)
-        g_params = generator.init(kg, kg, ts, batch)
+        g_params = generator.init(kg, kg, ts, batch, cond)
         # init scaling (sde.py:393-396): initial-condition net x3, SDE
         # drift/diffusion nets x0.5
         def scale(path, leaf):
@@ -91,8 +91,8 @@ def make_sde_gan_trainer(
             return leaf
 
         g_params = jax.tree_util.tree_map_with_path(scale, g_params)
-        fake = generator.apply(g_params, kg, ts, batch)
-        d_params = discriminator.init(kd, fake, ts)
+        fake = generator.apply(g_params, kg, ts, batch, cond)
+        d_params = discriminator.init(kd, fake, ts, cond)
         return g_params, d_params
 
     def _clip_critic(params):
@@ -110,12 +110,12 @@ def make_sde_gan_trainer(
         return jax.tree.map(clip_leaf, params)
 
     @jax.jit
-    def g_step(g_params, g_opt, d_params, key, real_paths):
+    def g_step(g_params, g_opt, d_params, key, real_paths, cond=None):
         def loss(gp):
             fake = generator.apply(
-                gp, key, ts, real_paths.shape[0]
+                gp, key, ts, real_paths.shape[0], cond
             )
-            adv = -jnp.mean(discriminator.apply(d_params, fake, ts))
+            adv = -jnp.mean(discriminator.apply(d_params, fake, ts, cond))
             if config.moment_weight > 0.0:
                 mf, mr = fake.mean(axis=0), real_paths.mean(axis=0)
                 sf, sr = fake.std(axis=0), real_paths.std(axis=0)
@@ -136,15 +136,15 @@ def make_sde_gan_trainer(
         return optax.apply_updates(g_params, updates), g_opt, val
 
     @jax.jit
-    def d_step(d_params, d_opt, g_params, key, real_paths):
+    def d_step(d_params, d_opt, g_params, key, real_paths, cond=None):
         k_fake, k_eps = jax.random.split(key)
 
         def loss(dp):
             fake = generator.apply(
-                g_params, k_fake, ts, real_paths.shape[0]
+                g_params, k_fake, ts, real_paths.shape[0], cond
             )
-            w = jnp.mean(discriminator.apply(dp, fake, ts)) - jnp.mean(
-                discriminator.apply(dp, real_paths, ts)
+            w = jnp.mean(discriminator.apply(dp, fake, ts, cond)) - jnp.mean(
+                discriminator.apply(dp, real_paths, ts, cond)
             )
             if config.gp_weight > 0.0:
                 eps = jax.random.uniform(
@@ -152,7 +152,7 @@ def make_sde_gan_trainer(
                 )
                 mid = eps * real_paths + (1.0 - eps) * fake
                 grad_fn = jax.grad(
-                    lambda m: jnp.sum(discriminator.apply(dp, m, ts))
+                    lambda m: jnp.sum(discriminator.apply(dp, m, ts, cond))
                 )
                 g = grad_fn(mid).reshape(real_paths.shape[0], -1)
                 gn = jnp.sqrt(jnp.sum(g * g, axis=-1) + 1e-12)
@@ -167,12 +167,12 @@ def make_sde_gan_trainer(
         return _clip_critic(new), d_opt, val
 
     @functools.partial(jax.jit, static_argnums=3)
-    def informed_step(g_params, g_opt, key, batch_size):
+    def informed_step(g_params, g_opt, key, batch_size, cond=None):
         """Potential-loss injection through the energy stack
         (sde.py:437-478); paths decode to (B*T, N, 3) coordinates."""
 
         def loss(gp):
-            fake = generator.apply(gp, key, ts, batch_size)
+            fake = generator.apply(gp, key, ts, batch_size, cond)
             coords = fake.reshape(-1, ff.n_atoms, 3)
             return config.potential_weight * potential_loss(
                 coords, ff, config=energy_config

@@ -168,6 +168,11 @@ def main():
     write_dcd(os.path.join(args.out, "rep0.dcd"), frames[:, 0])
     strided_log = {k: np.asarray(v)[::20] for k, v in log.items()}
     write_simulation_log(os.path.join(args.out, "sim_log.csv"), strided_log)
+    # full per-replica observable traces (saves, R): the campaign-level
+    # physical-equivalence analysis (scripts/sasa_cadence_equivalence.py)
+    # needs per-replica colvar/energy series over ALL replicas, which the
+    # strided CSV (ensemble summaries) and the max_dump frame subset lose
+    np.savez_compressed(os.path.join(args.out, "full_log.npz"), **log)
 
     from molecular_dynamics_tpu.evaluate import radius_of_gyration
 

@@ -53,6 +53,47 @@ class TestSDEGAN:
         avg = swa(g_params, g_params, 0)
         assert jax.tree.structure(avg) == jax.tree.structure(g_params)
 
+    def test_time_conditioned_gan(self):
+        """cond_dim > 0 (MDX_SDE_TEMB): the context must enter generator
+        and critic (different cond -> different paths/scores) and the
+        trainer must step finitely with conds attached."""
+        from molecular_dynamics_tpu.models.sde import (
+            CDEDiscriminator,
+            SDEGenerator,
+        )
+        from molecular_dynamics_tpu.train.sde import (
+            SDEGANConfig,
+            make_sde_gan_trainer,
+        )
+
+        ts = jnp.linspace(0.0, 1.0, 5)
+        gen = SDEGenerator(
+            data_dim=6, latent_dim=8, noise_dim=2, hidden=(16,), cond_dim=3
+        )
+        disc = CDEDiscriminator(
+            data_dim=6, hidden_dim=8, f_hidden=(16,), cond_dim=3
+        )
+        c0 = jnp.zeros((3, 3))
+        c1 = jnp.ones((3, 3))
+        init_fn, opts, g_step, d_step, _, _ = make_sde_gan_trainer(
+            gen, disc, ts, config=SDEGANConfig()
+        )
+        g_params, d_params = init_fn(KEY, 3, c0)
+        p0 = gen.apply(g_params, jax.random.PRNGKey(1), ts, 3, c0)
+        p1 = gen.apply(g_params, jax.random.PRNGKey(1), ts, 3, c1)
+        assert p0.shape == (3, 5, 6)
+        # same noise, different condition -> different paths
+        assert float(jnp.max(jnp.abs(p0 - p1))) > 1e-6
+        s0 = disc.apply(d_params, p0, ts, c0)
+        s1 = disc.apply(d_params, p0, ts, c1)
+        assert float(jnp.max(jnp.abs(s0 - s1))) > 1e-8
+        g_opt = opts[0].init(g_params)
+        d_opt = opts[1].init(d_params)
+        real = jax.random.normal(jax.random.PRNGKey(3), (3, 5, 6))
+        g_params, g_opt, gl = g_step(g_params, g_opt, d_params, KEY, real, c0)
+        d_params, d_opt, dl = d_step(d_params, d_opt, g_params, KEY, real, c0)
+        assert np.isfinite(float(gl)) and np.isfinite(float(dl))
+
     def test_quantile_matching_aux(self):
         """quantile_weight adds the empirical-W1 marginal term: the g-loss
         must shift by exactly mean|sort(fake) - sort(real)| (same key ->
