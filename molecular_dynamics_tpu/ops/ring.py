@@ -39,6 +39,7 @@ def ring_pair_forces(
     tables,  # 9 arrays, each (NSHIFT, L)
     *, n_shifts: int, cutoff2: float, krf: float, crf: float,
     switch_dist: float, inv_switch_span: float, gb=None,
+    start_roll=None, final_roll=None,
 ):
     """Shared ring-shift pair loop over VALUES (used by the standalone pair
     kernel and the fully-fused step kernel). Returns (fx, fy, fz, e_slots).
@@ -54,10 +55,27 @@ def ring_pair_forces(
     halfway row), and ``uprime(f, finv)`` = d/df of the Still prefactor.
     With gb the return gains ``der`` = per-atom dE/dR_born sums (excluding
     the Born self terms, which have no pair geometry).
+
+    ``start_roll``/``final_roll`` (traced i32) generalize the loop to a
+    CHUNK of the shift range: with tables holding rows for shifts
+    k = k_lo..k_hi (k_hi at row n_shifts-1, descending), pass
+    ``start_roll = lanes - k_hi`` and ``final_roll = k_lo``. The rolled
+    accumulator then telescopes to sum_k roll(c_k, k) exactly as in the
+    full loop (A after the chunk = sum roll(c_k, k - k_lo); one final
+    dynamic roll by k_lo restores the absolute offsets). This is what the
+    grid-chunked large-system kernel uses — the full static unroll over
+    n_pad/2 shifts is the compile-time wall past ~4 lane-tiles of atoms.
     """
     qq_t, a_t, b_t, m_t, kb_t, d0_t, a14_t, b14_t, qq14_t = tables
     lanes = x.shape[1]
-    start = jnp.int32(lanes - n_shifts)
+    start = (
+        jnp.int32(lanes - n_shifts) if start_roll is None
+        else jnp.asarray(start_roll, jnp.int32)
+    )
+    last = (
+        jnp.int32(1) if final_roll is None
+        else jnp.asarray(final_roll, jnp.int32)
+    )
     one = jnp.int32(1)
     xs = pltpu.roll(x, start, 1)
     ys = pltpu.roll(y, start, 1)
@@ -175,11 +193,11 @@ def ring_pair_forces(
                 bs = pltpu.roll(bs, one, 1)
                 bs_inv = pltpu.roll(bs_inv, one, 1)
 
-    fx = fx + pltpu.roll(ax, one, 1)
-    fy = fy + pltpu.roll(ay, one, 1)
-    fz = fz + pltpu.roll(az, one, 1)
+    fx = fx + pltpu.roll(ax, last, 1)
+    fy = fy + pltpu.roll(ay, last, 1)
+    fz = fz + pltpu.roll(az, last, 1)
     if gb is not None:
-        der = der + pltpu.roll(rev, one, 1)
+        der = der + pltpu.roll(rev, last, 1)
         return fx, fy, fz, e, der
     return fx, fy, fz, e
 
@@ -206,6 +224,56 @@ def _ring_kernel(
     fy_ref[:] = fy
     fz_ref[:] = fz
     e_ref[:] = e
+
+
+def _ring_chunk_kernel(
+    x_ref, y_ref, z_ref,  # (BR, L)
+    qq_ref, a_ref, b_ref, m_ref, kb_ref, d0_ref, a14_ref, b14_ref, qq14_ref,
+    # each (SHIFT_CHUNK, L): the grid's chunk j holds global shift rows
+    # [j*SHIFT_CHUNK, (j+1)*SHIFT_CHUNK) — shifts k = j*C+1 .. (j+1)*C
+    fx_ref, fy_ref, fz_ref, e_ref,  # (BR, L), accumulated over chunks
+    *, lanes: int, shift_chunk: int, cutoff2: float, krf: float, crf: float,
+    switch_dist: float, inv_switch_span: float,
+):
+    """Grid-chunked ring pass: one fixed-size (static-unroll) shift chunk
+    per grid cell, partial forces accumulated into the output block.
+
+    The monolithic ring kernel statically unrolls all n_pad/2 shifts —
+    past ~4 lane-tiles of atoms (n_pad >= 512) Mosaic's scheduler never
+    finishes (docs/VALIDATION.md system-size table). Making the shift
+    range a grid dimension keeps the compiled body at a constant 64
+    shifts regardless of system size; the rolled-accumulator identity
+    survives chunking via one dynamic roll per chunk (ring_pair_forces
+    start_roll/final_roll).
+    """
+    j = pl.program_id(1)
+    k_hi = (j + 1) * shift_chunk
+    k_lo = j * shift_chunk + 1
+    tables = tuple(
+        r[:]
+        for r in (qq_ref, a_ref, b_ref, m_ref, kb_ref, d0_ref, a14_ref,
+                  b14_ref, qq14_ref)
+    )
+    fx, fy, fz, e = ring_pair_forces(
+        x_ref[:], y_ref[:], z_ref[:], tables,
+        n_shifts=shift_chunk, cutoff2=cutoff2, krf=krf, crf=crf,
+        switch_dist=switch_dist, inv_switch_span=inv_switch_span,
+        start_roll=lanes - k_hi, final_roll=k_lo,
+    )
+
+    @pl.when(j == 0)
+    def _init():
+        fx_ref[:] = fx
+        fy_ref[:] = fy
+        fz_ref[:] = fz
+        e_ref[:] = e
+
+    @pl.when(j > 0)
+    def _accum():
+        fx_ref[:] += fx
+        fy_ref[:] += fy
+        fz_ref[:] += fz
+        e_ref[:] += e
 
 
 def build_ring_tables(
@@ -258,12 +326,27 @@ def make_pair_ring_op(
     include_14: bool = True,
     include_ub=None,  # None -> auto: on iff ff carries UB springs
     block_r: int = 64,
+    shift_chunk: int = 0,  # 0 -> auto: 64 when n_shifts > 64, else mono
     interpret: bool = False,
 ):
-    """Ring-shift variant of ``make_nonbonded_op`` (same contract)."""
+    """Ring-shift variant of ``make_nonbonded_op`` (same contract).
+
+    Above one lane-tile of atoms the shift loop runs grid-chunked
+    (``shift_chunk`` shifts per grid cell, default 64 — the proven
+    104-atom body size) so compile time stays constant in system size;
+    at n_pad = 128 the original monolithic kernel is used unchanged.
+    """
     n = ff.n_atoms
     n_pad = ((n + LANE - 1) // LANE) * LANE
     n_shifts = n_pad // 2
+    if not shift_chunk:
+        shift_chunk = min(n_shifts, 64)
+    n_chunks = (n_shifts + shift_chunk - 1) // shift_chunk
+    if n_shifts % shift_chunk:
+        raise ValueError(
+            f"shift_chunk={shift_chunk} must divide n_shifts={n_shifts} "
+            f"(n_pad={n_pad})"
+        )
     if rfa:
         denom = 2.0 * solvent_dielectric + 1.0
         krf = (solvent_dielectric - 1.0) / (denom * cutoff**3)
@@ -276,9 +359,7 @@ def make_pair_ring_op(
         include_bonds=include_bonds, include_14=include_14,
     )
 
-    kern = functools.partial(
-        _ring_kernel,
-        n_shifts=n_shifts,
+    _phys = dict(
         cutoff2=float(cutoff) ** 2 if cutoff is not None else 1e30,
         krf=float(krf),
         crf=float(crf),
@@ -289,6 +370,13 @@ def make_pair_ring_op(
             else 0.0
         ),
     )
+    if n_chunks == 1:
+        kern = functools.partial(_ring_kernel, n_shifts=n_shifts, **_phys)
+    else:
+        kern = functools.partial(
+            _ring_chunk_kernel,
+            lanes=n_pad, shift_chunk=shift_chunk, **_phys,
+        )
 
     def _run(pos):
         r0 = pos.shape[0]
@@ -301,16 +389,30 @@ def make_pair_ring_op(
         coords = coords.at[:, :, :n].set(
             jnp.moveaxis(pos.astype(jnp.float32), -1, 0)
         )
-        row_spec = pl.BlockSpec(
-            (block_r, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
-        )
-        tab_spec = pl.BlockSpec(
-            (n_shifts, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
-        )
         out_shape = jax.ShapeDtypeStruct((r, n_pad), jnp.float32)
+        if n_chunks == 1:
+            row_spec = pl.BlockSpec(
+                (block_r, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+            )
+            tab_spec = pl.BlockSpec(
+                (n_shifts, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
+            )
+            grid = (r // block_r,)
+        else:
+            # chunk grid innermost: each replica block's output is
+            # revisited across shift chunks and accumulated in VMEM
+            row_spec = pl.BlockSpec(
+                (block_r, n_pad), lambda i, j: (i, 0),
+                memory_space=pltpu.VMEM,
+            )
+            tab_spec = pl.BlockSpec(
+                (shift_chunk, n_pad), lambda i, j: (j, 0),
+                memory_space=pltpu.VMEM,
+            )
+            grid = (r // block_r, n_chunks)
         fx, fy, fz, e = pl.pallas_call(
             kern,
-            grid=(r // block_r,),
+            grid=grid,
             in_specs=[row_spec] * 3 + [tab_spec] * 9,
             out_specs=[row_spec] * 4,
             out_shape=[out_shape] * 4,

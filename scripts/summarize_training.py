@@ -151,13 +151,19 @@ def main():
             "noisy late-GAN phase.",
         ]
     # full-representation variants of the other families on the same
-    # regenerated GBIS data (runs_r3_fullfam/<family>)
+    # regenerated GBIS data. runs_r5_fullfam/ is COMMITTED (checkpoints +
+    # corrected eval.json via scripts/sweep_fullrep_corrector.py --write);
+    # runs_r3_fullfam/ was the round-3 transient layout, kept as fallback.
     fullfam = []
-    if os.path.isdir("runs_r3_fullfam"):
-        for fam in sorted(os.listdir("runs_r3_fullfam")):
-            m, ep = _load_run("runs_r3_fullfam", fam)
+    for ff_dir in ("runs_r5_fullfam", "runs_r3_fullfam"):
+        if not os.path.isdir(ff_dir):
+            continue
+        for fam in sorted(os.listdir(ff_dir)):
+            m, ep = _load_run(ff_dir, fam)
             if m is not None:
                 fullfam.append((fam, m, ep))
+        if fullfam:
+            break
     if not fullfam:
         # the run dir is transient (its eval.jsons are not committed):
         # when it is absent, carry the measured section over verbatim so
@@ -223,16 +229,25 @@ def main():
             "over the 1000-step rollout than on the 40-atom backbone "
             "(same recipes, incl. the unrolled fine-tune). The reference "
             "sidesteps this by never running its sequence models above "
-            "backbone resolution; the honest numbers at full "
-            "representation are:",
+            "backbone resolution. The TPU stack's differentiable force "
+            "field adds the physics-corrector rollout "
+            "(`MDX_ROLLOUT_CORRECT`, swept per family by "
+            "scripts/sweep_fullrep_corrector.py) as the rescue lever; "
+            "rows below are the committed runs_r5_fullfam artifacts — "
+            "corrected where a corrector wins, with the uncorrected "
+            "baseline noted in the corrector column:",
             "",
-            "| family | e2e mean err (A) | e2e max err (A) | Rg err (A) "
-            "| epochs |",
-            "|---|---|---|---|---|",
+            "| family | corrector | e2e mean err (A) | e2e max err (A) "
+            "| Rg err (A) | spread err (A) | epochs |",
+            "|---|---|---|---|---|---|---|",
         ] + [
-            "| {} | {:.3f} | {:.3f} | {:.3f} | {} |".format(
-                fam, fm["mean_abs_error"], fm["max_abs_error"],
-                fm["rg_abs_error"], ep,
+            "| {} | {} | {:.3f} | {:.3f} | {:.3f} | {} | {} |".format(
+                fam, fm.get("rollout_corrector", "—"),
+                fm["mean_abs_error"], fm["max_abs_error"],
+                fm["rg_abs_error"],
+                "{:.3f}".format(fm["std_abs_error"])
+                if "std_abs_error" in fm else "—",
+                ep,
             )
             for fam, fm, ep in fullfam
         ]

@@ -50,7 +50,7 @@ from molecular_dynamics_tpu.train.drivers import (
 from molecular_dynamics_tpu.train.seq import corrector_from_spec
 
 
-def _gen_lstm(ff, run_dir, raw, spec, key):
+def _gen_lstm(ff, run_dir, raw, spec, key, rolls=8):
     """Driver map: _run_lstm (drivers.py) — whitened autoregressive_rollout."""
     from molecular_dynamics_tpu.models.seq import LSTMPredictor
     from molecular_dynamics_tpu.train.seq import autoregressive_rollout
@@ -62,17 +62,17 @@ def _gen_lstm(ff, run_dir, raw, spec, key):
     params = checkpoint.load(os.path.join(run_dir, "best.ckpt"), params)
     correct = corrector_from_spec(ff, w_mean, w_std, spec)
     roll_len = int(np.mean([len(t) for t in traj.trajectories]))
-    rolls = []
-    for t_arr in traj.trajectories[:8]:
+    outs = []
+    for t_arr in traj.trajectories[:rolls]:
         w0 = jnp.asarray(t_arr[:history].reshape(history, feat))
         fr = autoregressive_rollout(
             model, params, w0, n_steps=roll_len, corrector=correct
         )
-        rolls.append(unwhiten(np.asarray(fr).reshape(-1, n, 3), w_mean, w_std))
-    return rolls
+        outs.append(unwhiten(np.asarray(fr).reshape(-1, n, 3), w_mean, w_std))
+    return outs
 
 
-def _gen_seq2seq(ff, run_dir, raw, spec, key):
+def _gen_seq2seq(ff, run_dir, raw, spec, key, rolls=8):
     """Driver map: _run_seq2seq — whitened chained_decode_rollout."""
     from molecular_dynamics_tpu.models.seq import Seq2Seq
     from molecular_dynamics_tpu.train.seq import chained_decode_rollout
@@ -92,16 +92,16 @@ def _gen_seq2seq(ff, run_dir, raw, spec, key):
             model, p, w0, k, decode_len, roll_len, corrector=correct
         )
     )
-    rolls = []
-    for t_arr in traj.trajectories[:8]:
+    outs = []
+    for t_arr in traj.trajectories[:rolls]:
         w0 = jnp.asarray(t_arr[:history].reshape(history, feat))
         key, sub = jax.random.split(key)
         gen = roll_chain(params, w0, sub)
-        rolls.append(unwhiten(np.asarray(gen).reshape(-1, n, 3), w_mean, w_std))
-    return rolls
+        outs.append(unwhiten(np.asarray(gen).reshape(-1, n, 3), w_mean, w_std))
+    return outs
 
 
-def _gen_hnn(ff, run_dir, raw, spec, key):
+def _gen_hnn(ff, run_dir, raw, spec, key, rolls=8):
     """Driver map: _run_hnn — raw phase-space rollout, pos-half corrector."""
     from molecular_dynamics_tpu.models.hnn import HNN, rollout
     from molecular_dynamics_tpu.train.datasets import phase_space_pairs
@@ -123,18 +123,18 @@ def _gen_hnn(ff, run_dir, raw, spec, key):
         correct = lambda st: jnp.concatenate(
             [pos_correct(st[:half_dim]), st[half_dim:]]
         )
-    rolls = []
-    for st in seg_starts[:8]:
+    outs = []
+    for st in seg_starts[:rolls]:
         frames = rollout(
             model, params, jnp.asarray(x[st]), n_steps=roll_len, dt=1.0,
             max_step=max_step, corrector=correct,
         )
         half = frames.shape[1] // 2
-        rolls.append(np.asarray(frames[:, :half]).reshape(len(frames), -1, 3))
-    return rolls
+        outs.append(np.asarray(frames[:, :half]).reshape(len(frames), -1, 3))
+    return outs
 
 
-def _gen_vae(ff, run_dir, raw, spec, key):
+def _gen_vae(ff, run_dir, raw, spec, key, rolls=8):
     """Driver map: _run_vae — decode 10 bucket-conditioned frames, relax."""
     from molecular_dynamics_tpu.models.vae import ConditionalVAE
 
@@ -176,6 +176,17 @@ def main():
         "--write", action="store_true",
         help="write eval.json + generated xyz into run_dir (one spec only)",
     )
+    ap.add_argument(
+        "--rolls", type=int, default=8,
+        help="rollouts per evaluation (one per data trajectory start); "
+        "the committed full-rep rows use 24 — the 8-rollout default "
+        "carries bucket-mean noise ~ +-1 A at full-rep ensemble spreads",
+    )
+    ap.add_argument(
+        "--key", type=int, default=0,
+        help="base PRNG key for the generation maps that sample noise "
+        "(seq2seq/vae) — vary to measure rollout-ensemble eval variance",
+    )
     args = ap.parse_args()
     if args.write and len(args.specs) != 1:
         ap.error("--write takes exactly one spec")
@@ -184,8 +195,8 @@ def main():
     names = meta["atom_names"]
     raw = TrajectoryData.from_npy_glob(args.data, stride=args.stride)
     for spec in args.specs:
-        key = jax.random.PRNGKey(0)
-        gen = GEN[args.family](ff, args.run_dir, raw, spec, key)
+        key = jax.random.PRNGKey(args.key)
+        gen = GEN[args.family](ff, args.run_dir, raw, spec, key, args.rolls)
         out = args.run_dir if args.write else tempfile.mkdtemp()
         extra = {} if spec == "none" else {"rollout_corrector": spec}
         if args.family == "vae":

@@ -198,6 +198,41 @@ class TestNonbondedKernelParity:
         np.testing.assert_allclose(np.asarray(e_r), np.asarray(e_d), atol=0.01)
         np.testing.assert_allclose(np.asarray(f_r), np.asarray(f_d), atol=0.005)
 
+    def test_ring_chunked_matches_mono(self, rng):
+        """Grid-chunked shift loop == monolithic kernel (the large-system
+        compile-time tier: fixed 64-shift body + dynamic start/final rolls
+        + output accumulation over chunk grid cells must telescope to the
+        identical pair sum). Forced shift_chunk=16 on the 104-atom system
+        exercises 4 chunks against the mono kernel; tiled 208 atoms
+        exercises the auto-chunked (n_shifts=128 -> 2x64) path against
+        the dense XLA reference."""
+        from molecular_dynamics_tpu.examples import decaalanine_full, tiled_decaalanine
+        from molecular_dynamics_tpu.ops.ring import make_pair_ring_op
+
+        ff, coords, _ = decaalanine_full()
+        mono = make_pair_ring_op(ff, interpret=True, block_r=8)
+        chunked = make_pair_ring_op(
+            ff, interpret=True, block_r=8, shift_chunk=16
+        )
+        pos = jnp.asarray(
+            np.stack([coords + rng.normal(0, 0.05, coords.shape)
+                      for _ in range(4)]),
+            jnp.float32,
+        )
+        e_m, f_m = jax.jit(mono)(pos)
+        e_c, f_c = jax.jit(chunked)(pos)
+        np.testing.assert_allclose(np.asarray(e_c), np.asarray(e_m), atol=0.01)
+        np.testing.assert_allclose(np.asarray(f_c), np.asarray(f_m), atol=0.005)
+
+        ff2, c2, _ = tiled_decaalanine(2)
+        ring2 = make_pair_ring_op(ff2, interpret=True, block_r=8)
+        pos2 = jnp.asarray(c2, jnp.float32)[None]
+        e_r, f_r = jax.jit(ring2)(pos2)
+        e_ref = ring2.reference_energy(pos2)
+        f_ref = ring2.reference_forces(pos2)
+        np.testing.assert_allclose(np.asarray(e_r), np.asarray(e_ref), atol=0.02)
+        np.testing.assert_allclose(np.asarray(f_r), np.asarray(f_ref), atol=0.01)
+
     def test_ring_kernel_matches_dense_wide_cutoff(self):
         """Regression: at cutoff 16 (the GBIS protocol) the halfway-shift
         row (pairs i, i+64) is inside the cutoff — its contribution must be
