@@ -298,7 +298,19 @@ def main():
         "uncorrected rollout and the corrector knob is documented for "
         "users who weight Rg. Measured rejects: node auxiliary fine-tune "
         "losses (Rg-MSE, dist-matrix MSE) and half-length probe "
-        "checkpoint selection all made e2e several-fold worse. sde's "
+        "checkpoint selection all made e2e several-fold worse. "
+        "hnn-latent (PixelHNN, cuda_hnn.py:75-98 — a model the reference "
+        "defines but never trains on MD data) autoencodes frames to a "
+        "16-dim latent phase space and trains HNN dynamics there "
+        "(recon + decoded next-frame + latent-consistency losses), 32 "
+        "epochs; its 2.03 A reflects the decode bottleneck, not the "
+        "symplectic core (the coordinate-space hnn row is 0.70 A). "
+        "hnn-schnet's ensemble spread (std 2.32) is a measured-reject "
+        "for snapshot selection: a spread-aware probe "
+        "(e2e + Rg + 0.5*std, MDX_HNN_PROBE/MDX_PROBE_STD_W) scored "
+        "every mid-training checkpoint worse than the final params — "
+        "the spread is a training-capacity property of the filter "
+        "backbone, not a late-training regression. sde's "
         "bare 32/48-epoch retrains diverge (critic collapse, all paths "
         "non-finite); evaluator-probed snapshot selection rescues the "
         "pre-collapse checkpoints (TV 0.217 -> 0.157, the committed "
@@ -306,7 +318,20 @@ def main():
         "empirical-Wasserstein quantile-matching aux loss "
         "(MDX_SDE_QUANTILE 1.0/3.0 -> TV 0.215 both — it stabilizes "
         "training but hurts marginals), 64 epochs (0.178), seed 1 "
-        "(0.200).",
+        "(0.200), fresh 32-epoch retrains with 3-seed-averaged probe "
+        "scoring (MDX_SDE_PROBE_SEEDS=3 -> 0.208), and Fourier "
+        "time-conditioning of the drift (MDX_SDE_TEMB=8 -> TV 0.256, "
+        "though it halves the spread error to 1.03 — a trade-off knob, "
+        "not a win). The committed row's finite-sample noise band "
+        "(scripts/sde_tv_noiseband.py, 8 independent 1024-path "
+        "ensembles on the committed checkpoint, runs_r3/sde/"
+        "tv_noiseband.json): TV 0.169 +/- 0.014 (min 0.139, max 0.184; "
+        "data-vs-data floor 0.066 +/- 0.003). The single-draw 0.157 in "
+        "the table is within that band; the honest expected value of "
+        "the checkpoint is ~0.17, i.e. the round-3 <=0.15 target is "
+        "~1.3 sigma below the mean and is NOT met in expectation — "
+        "run-to-run training variance (fresh retrains land at "
+        "0.21-0.26) dominates any remaining recipe lever.",
         "",
         "The evaluator buckets the end-to-end distance per trajectory by "
         "*normalized time* and compares generated rollouts bucket-by-bucket "
