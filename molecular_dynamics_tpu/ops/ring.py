@@ -22,6 +22,7 @@ UB, pre-scaled 1-4), same custom_vjp fallback; parity-tested against both.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -340,7 +341,12 @@ def make_pair_ring_op(
     n_pad = ((n + LANE - 1) // LANE) * LANE
     n_shifts = n_pad // 2
     if not shift_chunk:
-        shift_chunk = min(n_shifts, 64)
+        # MDX_RING_CHUNK probes smaller static bodies on systems where
+        # Mosaic rejects the default chunk (64 — proven through 416
+        # atoms / 4 lane tiles)
+        shift_chunk = min(
+            n_shifts, int(os.environ.get("MDX_RING_CHUNK", "64"))
+        )
     n_chunks = (n_shifts + shift_chunk - 1) // shift_chunk
     if n_shifts % shift_chunk:
         raise ValueError(

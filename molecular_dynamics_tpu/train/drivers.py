@@ -678,6 +678,12 @@ def _run_hnn(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     tag = "hnn-schnet" if backbone == "schnet" else "hnn"
     _export_xyz(os.path.join(out_dir, "HNN_generated.xyz"), rolls[0], names, top=top)
     _eval_rollout_ensemble(out_dir, tag, rolls, traj)
+    # best.ckpt must hold the params the reported eval comes from (the
+    # probe-selected snapshot when MDX_HNN_PROBE fires) — the keeper's
+    # lowest-loss snapshot is a different model (the sde-driver contract)
+    from molecular_dynamics_tpu.train.checkpoint import save as _ckpt_save
+
+    _ckpt_save(os.path.join(out_dir, "best.ckpt"), params)
     return params
 
 
@@ -1793,6 +1799,11 @@ def _run_node(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
         )
     _export_xyz(os.path.join(out_dir, "NODE_generated.xyz"), rolls[0], names, top=top)
     _eval_rollout_ensemble(out_dir, "node", rolls, traj)
+    # same contract as sde/hnn: best.ckpt holds the eval'd (probe-selected)
+    # params, not the keeper's lowest-loss snapshot
+    from molecular_dynamics_tpu.train.checkpoint import save as _ckpt_save
+
+    _ckpt_save(os.path.join(out_dir, "best.ckpt"), params)
     return params
 
 

@@ -257,16 +257,35 @@ def main():
         "n[:pin[fk]]`) partially rescue the full-rep autoregressive "
         "collapse by relaxing each generated frame through the "
         "differentiable force field — a capability the reference stack "
-        "does not have. Full-rep lstm sweep "
-        "(scripts/scratch_eval_lstm_corr.py; baseline 4.85 A e2e / "
-        "1.87 A Rg): FIRE minimization peaks at 16 steps (3.50 / 0.47) "
-        "then degrades as deeper minimization leaves the 300 K manifold "
-        "(fire:32 with a pinned colvar still 4.55); short thermostatted "
-        "Langevin bursts with the colvar pinned do best — "
-        "`langevin:10:pin` 2.77 / 0.40, `langevin:10:pin200` 2.94 with "
-        "Rg err 0.063. Deeper bursts degrade again (langevin:20 -> "
-        "5.4 A): the correction must stay a small perturbation of the "
-        "predicted frame, not a re-simulation.",
+        "does not have. Round-5 per-family sweep "
+        "(scripts/sweep_fullrep_corrector.py, 24-rollout committed "
+        "protocol, fresh-data retrained checkpoints): **lstm** "
+        "uncorrected 4.56 A -> `langevin:10:pin` 3.25 / Rg 0.13 (the "
+        "committed row); the burst depth is a real optimum — 8/12/16 "
+        "steps score 3.43 / 3.59 / 4.41 and `pin200` 3.63. **seq2seq** "
+        "retrained on the fresh campaign recovers to 1.81 A *uncorrected* "
+        "and every corrector now HURTS it (fire:8 2.68, fire:16 3.68, "
+        "langevin:10:pin 3.99): once the base rollout stays on-manifold "
+        "the relaxation is pure perturbation — the corrector is a rescue "
+        "lever, not a universal post-process. **hnn** is a measured "
+        "reject (uncorrected 10.18; every spec 10.1-10.5): its full-rep "
+        "collapse is representation capacity, not manifold drift, so "
+        "physics relaxation cannot cure it — spread-aware probe "
+        "selection (MDX_HNN_PROBE=50) trims it 10.4 -> 9.9 (the "
+        "committed row), still collapsed. **vae** likewise (9.61 -> "
+        "9.18 at langevin:10:pin, within the 10-frame decode protocol's "
+        "own draw noise — the committed 6.91 vs the sweep's 9.61 is the "
+        "same checkpoint under a different decode key). Deeper "
+        "relaxation always degrades (round-4 full-rep lstm: fire:32 "
+        "5.04, langevin:20 5.4): the correction must stay a small "
+        "perturbation of the predicted frame, not a re-simulation. The "
+        "same lever applied to the sde generator's 8-frame windows "
+        "(scripts/sweep_sde_corrector.py, committed checkpoint, fixed "
+        "1024-path draw) is a measured reject on BOTH statistics: e2e "
+        "is unchanged (1.888 -> 1.887 for every fire/langevin spec — "
+        "sde's e2e deficit is a bucket-profile mismatch, not physical "
+        "clashes) while marginal TV degrades monotonically with burst "
+        "depth (0.157 -> 0.194 at langevin:10).",
         "",
         "Reproduce: `bash scripts/run_campaign.sh runs_r3 16` or per family "
         "`python -m molecular_dynamics_tpu.cli train <family> --data "
@@ -298,7 +317,12 @@ def main():
         "uncorrected rollout and the corrector knob is documented for "
         "users who weight Rg. Measured rejects: node auxiliary fine-tune "
         "losses (Rg-MSE, dist-matrix MSE) and half-length probe "
-        "checkpoint selection all made e2e several-fold worse. "
+        "checkpoint selection all made e2e several-fold worse, and a "
+        "round-5 retrain with spread-aware probe selection (e2e + Rg + "
+        "0.5*std over full-length probe rollouts) reproduced the "
+        "committed row exactly — no mid-training snapshot dominates the "
+        "final params, so Rg 1.47 is a capacity property of the "
+        "phase-space field, not a selection artifact. "
         "hnn-latent (PixelHNN, cuda_hnn.py:75-98 — a model the reference "
         "defines but never trains on MD data) autoencodes frames to a "
         "16-dim latent phase space and trains HNN dynamics there "
