@@ -261,7 +261,9 @@ def main():
         "(scripts/sweep_fullrep_corrector.py, 24-rollout committed "
         "protocol, fresh-data retrained checkpoints): **lstm** "
         "uncorrected 4.56 A -> `langevin:10:pin` 3.25 / Rg 0.13 (the "
-        "committed row); the burst depth is a real optimum — 8/12/16 "
+        "committed row; round-4's quoted 2.77 was the same rollout "
+        "under the noisier 10-roll eval — protocol, not regression); "
+        "the burst depth is a real optimum — 8/12/16 "
         "steps score 3.43 / 3.59 / 4.41 and `pin200` 3.63. **seq2seq** "
         "retrained on the fresh campaign recovers to 1.81 A *uncorrected* "
         "and every corrector now HURTS it (fire:8 2.68, fire:16 3.68, "
