@@ -330,6 +330,15 @@ def cmd_bench(args) -> int:
 
 
 def main(argv=None) -> int:
+    # persistent compile cache: repeat invocations of the same trainer /
+    # campaign skip XLA recompilation (first compiles through the remote
+    # TPU tunnel cost minutes; bench.py and conftest set the same dir)
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("MDX_COMPILE_CACHE", "/tmp/mdx_jax_cache"),
+    )
     parser = argparse.ArgumentParser(
         prog="mdx", description="TPU-native molecular dynamics framework"
     )

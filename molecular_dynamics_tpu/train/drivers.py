@@ -2414,10 +2414,21 @@ def _run_hnn_latent(ff, traj, epochs, batch_size, rng, key, logger, keeper,
 
     Loss per consecutive whitened frame pair (x_t, x_{t+1}):
     AE reconstruction + decoded next-frame prediction through one latent
-    Euler step z + f(z), + a latent-consistency term against encode(x_{t+1})
-    (stop-gradient — the dynamics chases the encoder, not vice versa).
+    Euler step z + f(z), + a symmetric latent-consistency term against
+    encode(x_{t+1}) + a small L2 on z that pins the latent gauge. The
+    consistency term must NOT stop-gradient its target: the asymmetric
+    "dynamics chases the encoder" form is a measured divergence — the AE
+    loss is invariant to affine latent reparameterization (the decoder
+    compensates any encoder rescale), and the one-sided chase drifts along
+    that free direction until |z| runs away (committed round-4 run: loss
+    1e12 from epoch ~2, |z|max 8 -> 1e6 in 8 epochs; gradient clipping and
+    the z-L2 alone do not stop it — under Adam only gradient *direction*
+    consistency matters, and the chase direction never flips).
     Recipe knobs: MDX_LHNN_LATENT (default 16, must be even for the (q, p)
-    split), MDX_LHNN_LAT_W (latent-consistency weight).
+    split), MDX_LHNN_LAT_W (latent-consistency weight), MDX_LHNN_ZREG
+    (latent L2 weight), MDX_LHNN_CLIP (global-norm clip), MDX_LHNN_PROBE
+    (probe-selection epoch cadence), MDX_LHNN_FT_* (latent-unroll
+    fine-tune — a measured reject on the backbone data, default off).
     """
     import jax
     import jax.numpy as jnp
@@ -2439,7 +2450,17 @@ def _run_hnn_latent(ff, traj, epochs, batch_size, rng, key, logger, keeper,
     inner = HNN(hidden=tuple(model.hnn_hidden))
     inner_params = lambda p: {"params": p["params"]["hnn"]}
     params = model.init(key, jnp.zeros((1, feat)))
-    opt = optax.adam(1e-3)
+    # global-norm clipping is load-bearing: unclipped, the inner HNN's
+    # grad-of-grad loss surface diverges within ~2 epochs (logged loss
+    # 1e12 for the rest of training) and the eval degenerates to a
+    # clamped latent walk under a still-intact decoder (round-4's 2.03 A
+    # committed row was exactly that failure mode)
+    opt = optax.chain(
+        optax.clip_by_global_norm(
+            float(os.environ.get("MDX_LHNN_CLIP", 1.0))
+        ),
+        optax.adam(1e-3),
+    )
     opt_state = opt.init(params)
 
     x0l, x1l = [], []
@@ -2450,6 +2471,7 @@ def _run_hnn_latent(ff, traj, epochs, batch_size, rng, key, logger, keeper,
     x0 = np.concatenate(x0l).astype(np.float32)
     x1 = np.concatenate(x1l).astype(np.float32)
     lam = float(os.environ.get("MDX_LHNN_LAT_W", 1.0))
+    zreg = float(os.environ.get("MDX_LHNN_ZREG", 1e-3))
 
     @jax.jit
     def step(params, opt_state, xb, xb1):
@@ -2461,14 +2483,19 @@ def _run_hnn_latent(ff, traj, epochs, batch_size, rng, key, logger, keeper,
             return (
                 jnp.mean((recon - xb) ** 2)
                 + jnp.mean((x1_pred - xb1) ** 2)
-                + lam
-                * jnp.mean((z1_pred - jax.lax.stop_gradient(z1)) ** 2)
+                + lam * jnp.mean((z1_pred - z1) ** 2)
+                + zreg * jnp.mean(z**2)
             )
 
         val, grads = jax.value_and_grad(loss)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, val
 
+    # evaluator-probed snapshot selection (the aae/sde/hnn-schnet
+    # mechanism): epoch-end snapshots scored by short probe rollouts
+    # through the full generation map; MDX_LHNN_PROBE=0 disables
+    probe_every_ep = int(os.environ.get("MDX_LHNN_PROBE", 4))
+    snapshots = []
     t0 = time.time()
     i = 0
     for epoch in range(epochs):
@@ -2483,38 +2510,149 @@ def _run_hnn_latent(ff, traj, epochs, batch_size, rng, key, logger, keeper,
                 _log(logger, curves, keeper, params, epoch, i, loss, t0)
             if i >= 200 * (epoch + 1):
                 break  # bounded epoch, same policy as _run_hnn
+        if probe_every_ep and (epoch + 1) % probe_every_ep == 0:
+            snapshots.append(jax.device_get(params))
+            snapshots = snapshots[-12:]
+
+    # unrolled fine-tune through the exact generation map (encode once,
+    # W clamped latent Euler steps, decode each) — the same
+    # train/generate map-mismatch cure as gat/node/lstm/seq2seq-graph,
+    # here through the latent dynamics so compounding latent drift is
+    # penalized directly. MDX_LHNN_FT_W / _FT_EPOCHS / _FT_LR knobs.
+    ft_w = int(os.environ.get("MDX_LHNN_FT_W", 8))
+    # default OFF: a measured reject on the backbone dataset — the 8-frame
+    # unroll objective inflates the latent step scale, and the 1000-step
+    # generation rollout then over-expands the molecule (lat16: e2e
+    # 2.08 -> 3.10, Rg 0.12 -> 1.03; lat32: e2e 2.43 -> 1.63 but Rg
+    # 1.53 -> 1.74). Kept as a knob for representations where the
+    # trade-off lands the other way.
+    ft_epochs = int(os.environ.get("MDX_LHNN_FT_EPOCHS", 0))
+    if ft_epochs > 0 and ft_w > 1:
+        w0l, wtl = [], []
+        for t_arr in traj.trajectories:
+            flat = t_arr.reshape(len(t_arr), feat)
+            for s in range(0, len(flat) - 1 - ft_w, max(1, ft_w // 2)):
+                w0l.append(flat[s])
+                wtl.append(flat[s + 1 : s + 1 + ft_w])
+        w0a = np.stack(w0l).astype(np.float32)
+        wta = np.stack(wtl).astype(np.float32)
+        # the generation map's collapse-guard clamp, from the pre-FT
+        # encoder (the driver recomputes it at generation time)
+        zz0 = np.asarray(
+            model.apply(params, jnp.asarray(x0), method=LatentHNN.encode)
+        )
+        zz1 = np.asarray(
+            model.apply(params, jnp.asarray(x1), method=LatentHNN.encode)
+        )
+        ft_ms = float(np.quantile(np.abs(zz1 - zz0), 0.999)) * 2.0
+        keeper.rebase()  # rollout-MSE regime, not 1-step MSE
+        ft_opt = optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.adam(float(os.environ.get("MDX_LHNN_FT_LR", 1e-4))),
+        )
+        ft_state = ft_opt.init(params)
+
+        @jax.jit
+        def ft_step(params, ft_state, xb, tgt):
+            def unroll_one(p, x_init):
+                z = model.apply(p, x_init, method=LatentHNN.encode)
+
+                def body(zc, _):
+                    d = time_derivative(inner, inner_params(p), zc)
+                    zc = zc + jnp.clip(d, -ft_ms, ft_ms)
+                    return zc, zc
+
+                _, zs = jax.lax.scan(body, z, None, length=ft_w)
+                return model.apply(p, zs, method=LatentHNN.decode)
+
+            def loss(p):
+                pred = jax.vmap(lambda xi: unroll_one(p, xi))(xb)
+                return jnp.mean((pred - tgt) ** 2)
+
+            val, grads = jax.value_and_grad(loss)(params)
+            updates, ft_state = ft_opt.update(grads, ft_state, params)
+            return optax.apply_updates(params, updates), ft_state, val
+
+        ft_bs = max(4, batch_size // 2)
+        for epoch in range(ft_epochs):
+            order = rng.permutation(len(w0a))
+            for s in range(0, len(order) - ft_bs + 1, ft_bs):
+                sel = order[s : s + ft_bs]
+                params, ft_state, loss = ft_step(
+                    params, ft_state, jnp.asarray(w0a[sel]),
+                    jnp.asarray(wta[sel]),
+                )
+                i += 1
+                if i % 10 == 0:
+                    _log(
+                        logger, curves, keeper, params, epochs + epoch, i,
+                        loss, t0,
+                    )
+                if i >= 200 * (epochs + epoch + 1):
+                    break  # bounded epoch, same policy as the base loop
 
     # latent rollout from each data-trajectory start, decoded; the
     # per-step latent displacement is clamped to the data's latent-dx
-    # support (the same collapse guard as _run_hnn's max_step)
+    # support under THAT candidate's encoder (the same collapse guard as
+    # _run_hnn's max_step, recomputed per candidate)
     roll_len = int(np.mean([len(t) for t in traj.trajectories]))
-    z0_all = np.asarray(
-        model.apply(params, jnp.asarray(x0), method=LatentHNN.encode)
-    )
-    z1_all = np.asarray(
-        model.apply(params, jnp.asarray(x1), method=LatentHNN.encode)
-    )
-    max_step = float(np.quantile(np.abs(z1_all - z0_all), 0.999)) * 2.0
-    rolls = []
-    for t_arr in traj.trajectories[:8]:
-        z_start = model.apply(
-            params,
-            jnp.asarray(t_arr[0].reshape(feat)),
-            method=LatentHNN.encode,
+
+    def _latent_rolls(p, n_rolls):
+        zz0 = np.asarray(
+            model.apply(p, jnp.asarray(x0), method=LatentHNN.encode)
         )
-        zs = rollout(
-            inner, inner_params(params), z_start, n_steps=roll_len,
-            dt=1.0, max_step=max_step,
+        zz1 = np.asarray(
+            model.apply(p, jnp.asarray(x1), method=LatentHNN.encode)
         )
-        frames = model.apply(params, zs, method=LatentHNN.decode)
-        rolls.append(
-            unwhiten(np.asarray(frames).reshape(-1, n, 3), w_mean, w_std)
+        ms = float(np.quantile(np.abs(zz1 - zz0), 0.999)) * 2.0
+        out = []
+        for t_arr in traj.trajectories[:n_rolls]:
+            z_start = model.apply(
+                p, jnp.asarray(t_arr[0].reshape(feat)),
+                method=LatentHNN.encode,
+            )
+            zs = rollout(
+                inner, inner_params(p), z_start, n_steps=roll_len,
+                dt=1.0, max_step=ms,
+            )
+            frames = model.apply(p, zs, method=LatentHNN.decode)
+            out.append(
+                unwhiten(np.asarray(frames).reshape(-1, n, 3), w_mean, w_std)
+            )
+        return out
+
+    if probe_every_ep and snapshots:
+        from molecular_dynamics_tpu.evaluate import radius_of_gyration
+
+        rg_data = float(
+            radius_of_gyration(
+                np.concatenate(raw_traj.trajectories)
+            ).mean()
         )
+        candidates = snapshots + [jax.device_get(params)]
+        scores = [
+            _ensemble_probe_score(_latent_rolls(p, 3), raw_traj, rg_data)
+            for p in candidates
+        ]
+        best = int(np.argmin(scores))
+        params = candidates[best]
+        print(
+            f"hnn-latent probe selection: checkpoint {best + 1}/"
+            f"{len(candidates)} score {scores[best]:.3f}"
+            f" (final-params score {scores[-1]:.3f})"
+        )
+
+    rolls = _latent_rolls(params, 8)
     _export_xyz(
         os.path.join(out_dir, "LatentHNN_generated.xyz"), rolls[0], names,
         top=top,
     )
     _eval_rollout_ensemble(out_dir, "hnn-latent", rolls, raw_traj)
+    # best.ckpt must hold the params the reported eval comes from, not
+    # the keeper's lowest-loss snapshot (the sde/hnn-driver contract)
+    from molecular_dynamics_tpu.train.checkpoint import save as _ckpt_save
+
+    _ckpt_save(os.path.join(out_dir, "best.ckpt"), params)
     return params
 
 

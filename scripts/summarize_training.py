@@ -328,9 +328,23 @@ def main():
         "hnn-latent (PixelHNN, cuda_hnn.py:75-98 — a model the reference "
         "defines but never trains on MD data) autoencodes frames to a "
         "16-dim latent phase space and trains HNN dynamics there "
-        "(recon + decoded next-frame + latent-consistency losses), 32 "
-        "epochs; its 2.03 A reflects the decode bottleneck, not the "
-        "symplectic core (the coordinate-space hnn row is 0.70 A). "
+        "(recon + decoded next-frame + symmetric latent-consistency + "
+        "latent-L2 losses), 32 epochs with evaluator-probed snapshot "
+        "selection (MDX_LHNN_PROBE=4; the final params overfit the "
+        "1-step map and probe at 2.4 — an epoch-12 snapshot generates "
+        "best). Round-5 fix behind the jump from 2.03 A to 0.73: the "
+        "original stop-gradient consistency term ('dynamics chases the "
+        "encoder') diverges — the AE loss is invariant to affine latent "
+        "reparameterization, and the one-sided chase drifts along that "
+        "free direction until |z| runs away (1e6 by epoch 8; training "
+        "loss 1e12 while the decoder stays locally intact, which is why "
+        "the broken run still scored 2.03). Gradient clipping and a "
+        "latent L2 alone do NOT stop it (under Adam only gradient "
+        "direction matters); making the consistency term symmetric "
+        "removes the chase and training is stable (loss 0.017). "
+        "Measured rejects on the healthy model: 64 epochs (e2e 2.34, "
+        "spread 1.34), latent 32 (Rg inflates to 1.53), and the "
+        "latent-unroll fine-tune (MDX_LHNN_FT_*: lat16 2.08 -> 3.10). "
         "hnn-schnet's ensemble spread (std 2.32) is a measured-reject "
         "for snapshot selection: a spread-aware probe "
         "(e2e + Rg + 0.5*std, MDX_HNN_PROBE/MDX_PROBE_STD_W) scored "

@@ -44,7 +44,7 @@ ARTIFACT_CEILING = {
     "flow": (1.5, 0.45),            # 0.975, 0.106
     "gat": (2.3, 0.45),             # 1.489, 0.089
     "hnn": (1.1, 0.45),             # 0.702, 0.161
-    "hnn-latent": (3.1, 1.0),       # 2.028, 0.650
+    "hnn-latent": (1.1, 0.45),      # 0.734, 0.050
     "hnn-schnet": (1.6, 1.1),       # 1.057, 0.732
     "lstm": (1.5, 0.45),            # 0.984, 0.027
     "lstm-gat": (1.0, 0.6),         # 0.646, 0.359
