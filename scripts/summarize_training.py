@@ -360,9 +360,15 @@ def main():
         "training but hurts marginals), 64 epochs (0.178), seed 1 "
         "(0.200), fresh 32-epoch retrains with 3-seed-averaged probe "
         "scoring (MDX_SDE_PROBE_SEEDS=3 -> 0.208), and Fourier "
-        "time-conditioning of the drift (MDX_SDE_TEMB=8 -> TV 0.256, "
-        "though it halves the spread error to 1.03 — a trade-off knob, "
-        "not a win). The committed row's finite-sample noise band "
+        "time-conditioning of the drift (MDX_SDE_TEMB=8; full re-run "
+        "eval: e2e 1.90 vs the committed 1.94, spread halved to 1.05, "
+        "but TV 0.244 and Rg 0.26 vs 0.05 — a spread trade-off knob, "
+        "not a win; two independent TEMB retrains land TV 0.244/0.256, "
+        "consistent with the run-to-run band). The sde e2e deficit is "
+        "thus measured unreachable by time conditioning, by the physics "
+        "corrector (scripts/sweep_sde_corrector.py: e2e unchanged at "
+        "1.887 for every spec), and by every capacity/epoch lever "
+        "swept. The committed row's finite-sample noise band "
         "(scripts/sde_tv_noiseband.py, 8 independent 1024-path "
         "ensembles on the committed checkpoint, runs_r3/sde/"
         "tv_noiseband.json): TV 0.169 +/- 0.014 (min 0.139, max 0.184; "
