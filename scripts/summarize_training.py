@@ -264,7 +264,10 @@ def main():
         "committed row; round-4's quoted 2.77 was the same rollout "
         "under the noisier 10-roll eval — protocol, not regression); "
         "the burst depth is a real optimum — 8/12/16 "
-        "steps score 3.43 / 3.59 / 4.41 and `pin200` 3.63. **seq2seq** "
+        "steps score 3.43 / 3.59 / 4.41 — and so is the pin force "
+        "constant (`pin25`/`pin100`/`pin200` -> 3.91 / 3.62 / 3.63 vs "
+        "the default pin50's 3.25): both corrector axes are fully swept "
+        "and the committed spec sits at the joint optimum. **seq2seq** "
         "retrained on the fresh campaign recovers to 1.81 A *uncorrected* "
         "and every corrector now HURTS it (fire:8 2.68, fire:16 3.68, "
         "langevin:10:pin 3.99): once the base rollout stays on-manifold "
