@@ -807,6 +807,11 @@ def _run_lstm(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     params = model.init(key, jnp.zeros((1, history, feat)))
     opt_state = opt.init(params)
     params, opt_state = _dp_prepare(mesh, params, opt_state)
+    # optional evaluator-probed snapshot selection (the hnn-latent/aae
+    # mechanism; MDX_LSTM_PROBE=k snapshots every k epochs, default OFF —
+    # committed backbone rows predate it and stay reproducible)
+    probe_every_ep = int(os.environ.get("MDX_LSTM_PROBE", 0))
+    snapshots = []
     t0 = time.time()
     i = 0
     for epoch in range(epochs):
@@ -820,6 +825,9 @@ def _run_lstm(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
             i += 1
             if i % 10 == 0:
                 _log(logger, curves, keeper, params, epoch, i, loss, t0)
+        if probe_every_ep and not nll and (epoch + 1) % probe_every_ep == 0:
+            snapshots.append(jax.device_get(params))
+            snapshots = snapshots[-12:]
     from molecular_dynamics_tpu.evaluate import unwhiten
 
     # unrolled fine-tune through the EXACT rollout map (the gat/node/
@@ -846,6 +854,39 @@ def _run_lstm(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
     # differentiable FF before feedback — the full-representation rescue
     # lever (docs/TRAINING.md full-rep section)
     correct = corrector_from_env(ff, w_mean, w_std)
+    if probe_every_ep and snapshots and not nll:
+        # probe through the EXACT generation map below (incl. any
+        # corrector): late epochs can overfit the 1-step window map the
+        # same way hnn-latent's final params did
+        from molecular_dynamics_tpu.evaluate import radius_of_gyration
+
+        rg_data = float(
+            radius_of_gyration(np.concatenate(raw_traj.trajectories)).mean()
+        )
+
+        def _probe_score_lstm(p):
+            probes = []
+            for t_arr in traj.trajectories[:3]:
+                w0p = jnp.asarray(t_arr[:history].reshape(history, feat))
+                fr = autoregressive_rollout(
+                    model, p, w0p, n_steps=roll_len, corrector=correct
+                )
+                probes.append(
+                    unwhiten(
+                        np.asarray(fr).reshape(-1, n, 3), w_mean, w_std
+                    )
+                )
+            return _ensemble_probe_score(probes, raw_traj, rg_data)
+
+        candidates = snapshots + [jax.device_get(params)]
+        scores = [_probe_score_lstm(p) for p in candidates]
+        best = int(np.argmin(scores))
+        params = candidates[best]
+        print(
+            f"lstm probe selection: checkpoint {best + 1}/"
+            f"{len(candidates)} score {scores[best]:.3f}"
+            f" (final-params score {scores[-1]:.3f})"
+        )
     rolls = []
     for t_arr in traj.trajectories[:8]:
         w0_t = jnp.asarray(t_arr[:history].reshape(history, feat))
@@ -872,6 +913,13 @@ def _run_lstm(ff, traj, epochs, batch_size, rng, key, logger, keeper, curves,
         rolls[0], names, top=top,
     )
     _eval_rollout_ensemble(out_dir, tag, rolls, raw_traj)
+    if probe_every_ep and not nll:
+        # probe-selected params are the eval'd model: best.ckpt must hold
+        # them, not the keeper's lowest-loss snapshot (the probe-family
+        # checkpoint contract)
+        from molecular_dynamics_tpu.train.checkpoint import save as _ckpt_save
+
+        _ckpt_save(os.path.join(out_dir, "best.ckpt"), params)
     return params
 
 
